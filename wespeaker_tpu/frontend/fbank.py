@@ -1,0 +1,187 @@
+"""Kaldi-compatible log-mel filterbank, computed on device with jnp.
+
+Behavioral spec: ``torchaudio.compliance.kaldi.fbank`` as invoked by the
+reference pipeline (wespeaker/dataset/processor.py:496-526 — hamming window,
+dither, 80 mels, 25ms/10ms, use_energy=False) and the reference C++
+implementation (runtime/core/frontend/fbank.h:57-198). The whole transform is
+expressed as batched framing (gather) → elementwise window math (VPU) →
+rfft → power → one mel matmul (MXU), so it fuses well under jit and runs per
+batch on TPU instead of per-utterance on host CPU like the reference.
+
+Frame math (snip_edges=True): num_frames = 1 + (num_samples - win) // shift.
+"""
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EPSILON = 1.1920928955078125e-07  # float32 machine eps, kaldi/torchaudio floor
+
+
+@dataclasses.dataclass(frozen=True)
+class FbankConfig:
+    num_mel_bins: int = 80
+    frame_length_ms: float = 25.0
+    frame_shift_ms: float = 10.0
+    sample_rate: int = 16000
+    dither: float = 0.0
+    window_type: str = "hamming"  # hamming | povey | hanning | rectangular
+    low_freq: float = 20.0
+    high_freq: float = 0.0  # <=0 => offset from nyquist
+    preemphasis: float = 0.97
+    remove_dc_offset: bool = True
+    round_to_power_of_two: bool = True
+    use_log_fbank: bool = True
+    use_power: bool = True
+
+    @property
+    def window_size(self) -> int:
+        return int(self.sample_rate * self.frame_length_ms * 0.001)
+
+    @property
+    def window_shift(self) -> int:
+        return int(self.sample_rate * self.frame_shift_ms * 0.001)
+
+    @property
+    def padded_window_size(self) -> int:
+        if self.round_to_power_of_two:
+            return 1 << (self.window_size - 1).bit_length()
+        return self.window_size
+
+    def num_frames(self, num_samples: int) -> int:
+        if num_samples < self.window_size:
+            return 0
+        return 1 + (num_samples - self.window_size) // self.window_shift
+
+
+def mel_scale(freq):
+    return 1127.0 * np.log1p(np.asarray(freq, np.float64) / 700.0)
+
+
+def make_window(cfg: FbankConfig) -> np.ndarray:
+    """Feature window function (kaldi feature-window.cc semantics)."""
+    m = cfg.window_size
+    n = np.arange(m, dtype=np.float64)
+    a = 2.0 * math.pi / (m - 1)
+    if cfg.window_type == "hamming":
+        w = 0.54 - 0.46 * np.cos(a * n)
+    elif cfg.window_type == "hanning":
+        w = 0.5 - 0.5 * np.cos(a * n)
+    elif cfg.window_type == "povey":
+        w = (0.5 - 0.5 * np.cos(a * n)) ** 0.85
+    elif cfg.window_type == "rectangular":
+        w = np.ones(m)
+    else:
+        raise ValueError(f"unknown window type {cfg.window_type}")
+    return w.astype(np.float32)
+
+
+def make_mel_banks(cfg: FbankConfig) -> np.ndarray:
+    """Triangular mel filterbank, shape (num_fft_bins, num_mel_bins).
+
+    Matches kaldi mel-computations.cc: filters are defined over fft bins
+    [0, padded/2) — the nyquist bin gets an implicit zero row so the matrix
+    can be applied to the full rfft power spectrum of size padded/2 + 1.
+    """
+    num_fft_bins = cfg.padded_window_size // 2
+    nyquist = 0.5 * cfg.sample_rate
+    high_freq = cfg.high_freq if cfg.high_freq > 0 else nyquist + cfg.high_freq
+    if not (0 <= cfg.low_freq < high_freq <= nyquist):
+        raise ValueError("bad low/high freq")
+    mel_low = mel_scale(cfg.low_freq)
+    mel_high = mel_scale(high_freq)
+    delta = (mel_high - mel_low) / (cfg.num_mel_bins + 1)
+    fft_bin_width = cfg.sample_rate / cfg.padded_window_size
+    mel_of_bin = mel_scale(fft_bin_width * np.arange(num_fft_bins))  # (F,)
+
+    j = np.arange(cfg.num_mel_bins, dtype=np.float64)[None, :]  # (1, M)
+    left = mel_low + j * delta
+    center = left + delta
+    right = center + delta
+    mel = mel_of_bin[:, None]  # (F, 1)
+    up = (mel - left) / (center - left)
+    down = (right - mel) / (right - center)
+    banks = np.maximum(0.0, np.minimum(up, down))
+    banks = np.where((mel > left) & (mel < right), banks, 0.0)
+    out = np.zeros((num_fft_bins + 1, cfg.num_mel_bins), dtype=np.float32)
+    out[:num_fft_bins] = banks.astype(np.float32)
+    return out
+
+
+def frame_signal(wav: jnp.ndarray, cfg: FbankConfig, num_frames: int):
+    """(..., num_samples) -> (..., num_frames, window_size) via strided gather."""
+    idx = (jnp.arange(num_frames)[:, None] * cfg.window_shift
+           + jnp.arange(cfg.window_size)[None, :])
+    return wav[..., idx]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_frames"))
+def _fbank_impl(wav, cfg: FbankConfig, num_frames: int, dither_key):
+    window = jnp.asarray(make_window(cfg))
+    banks = jnp.asarray(make_mel_banks(cfg))
+
+    frames = frame_signal(wav.astype(jnp.float32), cfg, num_frames)
+    if cfg.dither != 0.0 and dither_key is not None:
+        frames = frames + cfg.dither * jax.random.normal(
+            dither_key, frames.shape, dtype=frames.dtype)
+    if cfg.remove_dc_offset:
+        frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    if cfg.preemphasis != 0.0:
+        prev = jnp.concatenate([frames[..., :1], frames[..., :-1]], axis=-1)
+        frames = frames - cfg.preemphasis * prev
+    frames = frames * window
+
+    pad = cfg.padded_window_size - cfg.window_size
+    if pad > 0:
+        pad_widths = [(0, 0)] * (frames.ndim - 1) + [(0, pad)]
+        frames = jnp.pad(frames, pad_widths)
+    spec = jnp.fft.rfft(frames)
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    if not cfg.use_power:
+        power = jnp.sqrt(power)
+    mel = jnp.matmul(power, banks, preferred_element_type=jnp.float32)
+    if cfg.use_log_fbank:
+        mel = jnp.log(jnp.maximum(mel, EPSILON))
+    return mel
+
+
+def compute_fbank(wav, cfg: FbankConfig = FbankConfig(), *, key=None):
+    """wav: (..., num_samples) float32 (already scaled by 1<<15 when matching
+    the reference int16 convention). Returns (..., num_frames, num_mel_bins).
+
+    Deterministic unless cfg.dither != 0 and a PRNG key is supplied (the
+    reference disables dither at extraction time — wespeaker/bin/extract.py:84).
+    """
+    num_frames = cfg.num_frames(wav.shape[-1])
+    if num_frames == 0:
+        raise ValueError(
+            f"waveform too short: {wav.shape[-1]} < {cfg.window_size}")
+    if cfg.dither != 0.0 and key is None:
+        raise ValueError("dither enabled but no PRNG key given")
+    return _fbank_impl(wav, cfg, num_frames, key)
+
+
+def apply_cmvn(feat, norm_mean=True, norm_var=False, mask=None):
+    """Per-utterance cepstral mean (and optionally variance) normalization
+    over the time axis. feat: (..., T, F); mask: optional (..., T) validity
+    mask for padded batches. Mirrors wespeaker/dataset/dataset_utils.py:19-31.
+    """
+    if mask is None:
+        if norm_mean:
+            feat = feat - jnp.mean(feat, axis=-2, keepdims=True)
+        if norm_var:
+            feat = feat / jnp.sqrt(jnp.var(feat, axis=-2, keepdims=True) + 1e-8)
+        return feat
+    m = mask[..., None]
+    denom = jnp.maximum(jnp.sum(m, axis=-2, keepdims=True), 1.0)
+    mean = jnp.sum(feat * m, axis=-2, keepdims=True) / denom
+    if norm_mean:
+        feat = (feat - mean) * m
+    if norm_var:
+        var = jnp.sum((feat * m) ** 2, axis=-2, keepdims=True) / denom
+        feat = feat / jnp.sqrt(var + 1e-8) * m
+    return feat

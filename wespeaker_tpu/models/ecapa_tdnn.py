@@ -1,0 +1,170 @@
+"""ECAPA-TDNN speaker encoder, TPU-native flax implementation.
+
+Behavioral spec: wespeaker/models/ecapa_tdnn.py (Res2Conv1dReluBn:29,
+SE_Connect:113, SE_Res2Block:133, ECAPA_TDNN:160, constructors :237-274).
+
+Design notes (vs the torch reference):
+- Activations are (B, T, C) channels-last; every conv lowers to an MXU matmul
+  with the channel dim on lanes. The reference's (B, C, T) permutes disappear.
+- The Res2 split-conv chain is an inherently sequential scan over `scale-1`
+  width-128 groups; it is expressed with static python loops (unrolled in the
+  jit trace) so XLA can pipeline the small matmuls.
+- Optional frame mask makes padded-batch extraction equivalent to the
+  reference's batch=1 whole-utterance path (masked SE squeeze + masked ASTP).
+"""
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from wespeaker_tpu.models.layers import conv1d, masked_mean
+from wespeaker_tpu.models.pooling_layers import get_pooling, pooling_out_dim
+
+
+class Conv1dReluBn(nn.Module):
+    out_channels: int
+    kernel_size: int = 1
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = conv1d(self.out_channels, self.kernel_size, stride=self.stride,
+                   padding=self.padding, dilation=self.dilation,
+                   name="conv")(x)
+        x = nn.relu(x)
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, name="bn")(x)
+
+
+class Res2Conv1dReluBn(nn.Module):
+    """Res2Net-style hierarchical split conv: channels split into `scale`
+    groups; group i is convolved after accumulating group i-1's output."""
+    channels: int
+    kernel_size: int = 1
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    scale: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.channels % self.scale == 0
+        width = self.channels // self.scale
+        nums = self.scale if self.scale == 1 else self.scale - 1
+        splits = [x[..., i * width:(i + 1) * width]
+                  for i in range(self.scale)]
+        out = []
+        sp = splits[0]
+        for i in range(nums):
+            if i >= 1:
+                sp = sp + splits[i]
+            sp = conv1d(width, self.kernel_size, stride=self.stride,
+                        padding=self.padding, dilation=self.dilation,
+                        name=f"convs_{i}")(sp)
+            # reference order: conv -> relu -> bn
+            sp = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                              epsilon=1e-5, name=f"bns_{i}")(nn.relu(sp))
+            out.append(sp)
+        if self.scale != 1:
+            out.append(splits[nums])
+        return jnp.concatenate(out, axis=-1)
+
+
+class SE_Connect(nn.Module):
+    channels: int
+    se_bottleneck_dim: int = 128
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+        s = masked_mean(x, None if mask is None else mask[..., None], axis=1)
+        s = nn.relu(nn.Dense(self.se_bottleneck_dim, name="linear1")(s))
+        s = nn.sigmoid(nn.Dense(self.channels, name="linear2")(s))
+        return x * s[:, None, :]
+
+
+class SE_Res2Block(nn.Module):
+    channels: int
+    kernel_size: int
+    stride: int
+    padding: int
+    dilation: int
+    scale: int
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        out = Conv1dReluBn(self.channels, 1, name="block_0")(x, train)
+        out = Res2Conv1dReluBn(self.channels, self.kernel_size, self.stride,
+                               self.padding, self.dilation, self.scale,
+                               name="block_1")(out, train)
+        out = Conv1dReluBn(self.channels, 1, name="block_2")(out, train)
+        out = SE_Connect(self.channels, name="block_3")(out, mask)
+        return x + out
+
+
+class ECAPA_TDNN(nn.Module):
+    channels: int = 512
+    feat_dim: int = 80
+    embed_dim: int = 192
+    pooling_func: str = "ASTP"
+    global_context_att: bool = False
+    emb_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None,
+                 train: bool = False, return_frame_feat: bool = False):
+        """x: (B, T, F) fbank features. Returns (B, embed_dim) embedding."""
+        out1 = Conv1dReluBn(self.channels, 5, padding=2, name="layer1")(x, train)
+        out2 = SE_Res2Block(self.channels, 3, 1, 2, 2, 8,
+                            name="layer2")(out1, mask, train)
+        out3 = SE_Res2Block(self.channels, 3, 1, 3, 3, 8,
+                            name="layer3")(out2, mask, train)
+        out4 = SE_Res2Block(self.channels, 3, 1, 4, 4, 8,
+                            name="layer4")(out3, mask, train)
+
+        out = jnp.concatenate([out2, out3, out4], axis=-1)
+        out = conv1d(512 * 3, 1, name="conv")(out)
+        if return_frame_feat:
+            return out
+        out = nn.relu(out)
+        pool_in_dim = 512 * 3
+        pooled = get_pooling(self.pooling_func, pool_in_dim,
+                             global_context_att=self.global_context_att,
+                             name="pool")(out, mask)
+        pooled = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                              epsilon=1e-5, name="bn")(pooled)
+        emb = nn.Dense(self.embed_dim, name="linear")(pooled)
+        if self.emb_bn:
+            emb = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                               epsilon=1e-5, name="bn2")(emb)
+        return emb
+
+    @property
+    def pool_out_dim(self):
+        return pooling_out_dim(self.pooling_func, 512 * 3)
+
+
+def ECAPA_TDNN_c1024(feat_dim, embed_dim, pooling_func="ASTP", emb_bn=False):
+    return ECAPA_TDNN(channels=1024, feat_dim=feat_dim, embed_dim=embed_dim,
+                      pooling_func=pooling_func, emb_bn=emb_bn)
+
+
+def ECAPA_TDNN_GLOB_c1024(feat_dim, embed_dim, pooling_func="ASTP",
+                          emb_bn=False):
+    return ECAPA_TDNN(channels=1024, feat_dim=feat_dim, embed_dim=embed_dim,
+                      pooling_func=pooling_func, global_context_att=True,
+                      emb_bn=emb_bn)
+
+
+def ECAPA_TDNN_c512(feat_dim, embed_dim, pooling_func="ASTP", emb_bn=False):
+    return ECAPA_TDNN(channels=512, feat_dim=feat_dim, embed_dim=embed_dim,
+                      pooling_func=pooling_func, emb_bn=emb_bn)
+
+
+def ECAPA_TDNN_GLOB_c512(feat_dim, embed_dim, pooling_func="ASTP",
+                         emb_bn=False):
+    return ECAPA_TDNN(channels=512, feat_dim=feat_dim, embed_dim=embed_dim,
+                      pooling_func=pooling_func, global_context_att=True,
+                      emb_bn=emb_bn)
