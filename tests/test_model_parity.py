@@ -1,0 +1,45 @@
+"""Numerical parity of wespeaker_tpu flax models vs the reference torch
+implementations: random-init reference model -> state_dict conversion ->
+same input -> embeddings must agree to fp32 tolerance."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from tests.conftest import reference_available
+from tests.torch_ref import build_reference_model, reference_embedding
+from wespeaker_tpu.models import get_speaker_model
+from wespeaker_tpu.utils.torch_compat import rules_for, torch_to_flax_variables
+
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="reference repo not mounted")
+
+
+def _parity(model_name, tol=2e-4, cos_tol=1e-6, B=2, T=200, F=80, **kwargs):
+    ref_model = build_reference_model(model_name, feat_dim=F, **kwargs)
+    x = np.random.default_rng(0).normal(size=(B, T, F)).astype(np.float32)
+    want = reference_embedding(ref_model, x)
+
+    model = get_speaker_model(model_name)(feat_dim=F, **kwargs)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, F)))
+    variables = torch_to_flax_variables(ref_model.state_dict(), variables,
+                                        rules=rules_for(model_name))
+    got = np.asarray(model.apply(variables, jnp.asarray(x)))
+
+    assert got.shape == want.shape
+    cos = np.sum(got * want, axis=-1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1))
+    np.testing.assert_allclose(cos, 1.0, atol=cos_tol)
+    np.testing.assert_allclose(got, want, atol=tol, rtol=1e-3)
+
+
+@pytest.mark.parametrize("glob_att", [False, True])
+def test_ecapa_c512(glob_att):
+    name = "ECAPA_TDNN_GLOB_c512" if glob_att else "ECAPA_TDNN_c512"
+    _parity(name, embed_dim=192)
+
+
+def test_ecapa_c1024():
+    _parity("ECAPA_TDNN_c1024", embed_dim=192)

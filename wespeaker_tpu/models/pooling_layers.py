@@ -260,15 +260,15 @@ POOLING_LAYERS = {
 }
 
 
-def get_pooling(name: str, in_dim: int, **kwargs) -> nn.Module:
-    return POOLING_LAYERS[name](in_dim=in_dim, **kwargs)
+def get_pooling(pool_type: str, in_dim: int, **kwargs) -> nn.Module:
+    return POOLING_LAYERS[pool_type](in_dim=in_dim, **kwargs)
 
 
-def pooling_out_dim(name: str, in_dim: int, **kwargs) -> int:
-    if name in ("TAP", "TSDP"):
+def pooling_out_dim(pool_type: str, in_dim: int, **kwargs) -> int:
+    if pool_type in ("TAP", "TSDP"):
         return in_dim
-    if name == "MQMHASTP":
+    if pool_type == "MQMHASTP":
         return in_dim * 2 * kwargs.get("query_num", 2)
-    if name == "XI":
+    if pool_type == "XI":
         return in_dim * 2 if kwargs.get("stddev", False) else in_dim
     return in_dim * 2

@@ -1,0 +1,147 @@
+"""Torch-checkpoint → flax-variables conversion.
+
+The reference framework publishes pretrained torch state_dicts; bit-faithful
+embeddings (BASELINE.md north star: cos >= 0.999) require loading them into
+our flax models. Our modules intentionally reuse the torch attribute names,
+so conversion is structural: walk the flax variable tree, derive each leaf's
+torch key, and apply a shape-driven layout transform:
+
+  - conv kernels: torch (O, I, K...)        -> flax (K..., I, O)
+  - dense kernels: torch (O, I)             -> flax (I, O)
+  - batchnorm: weight/bias/running_mean/var -> scale/bias + batch_stats
+  - everything else: verbatim
+
+Where torch uses Sequential/ModuleList integer children (e.g.
+`se_res2block.0`), flax child names use `name_0`; per-model regex rules remap
+those path segments.
+"""
+
+import re
+from typing import Dict, Iterable, Mapping, Sequence, Tuple
+
+import numpy as np
+from flax.core import freeze, unfreeze
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+LEAF_TO_TORCH = {
+    "kernel": "weight",
+    "scale": "weight",
+    "bias": "bias",
+    "mean": "running_mean",
+    "var": "running_var",
+}
+
+IGNORED_TORCH_SUFFIXES = ("num_batches_tracked",)
+
+
+def _to_torch_key(path: Tuple[str, ...], rules: Sequence[Tuple[str, str]]):
+    *mods, leaf = path
+    prefix = ".".join(mods)
+    for pat, repl in rules:
+        prefix = re.sub(pat, repl, prefix)
+    suffix = LEAF_TO_TORCH.get(leaf, leaf)
+    return f"{prefix}.{suffix}" if prefix else suffix
+
+
+def _convert_leaf(torch_arr: np.ndarray, leaf: str, flax_shape):
+    arr = np.asarray(torch_arr)
+    if leaf == "kernel":
+        if arr.ndim == 2:
+            arr = arr.T
+        elif arr.ndim >= 3:
+            # (O, I, K...) -> (K..., I, O)
+            perm = tuple(range(2, arr.ndim)) + (1, 0)
+            arr = arr.transpose(perm)
+    if arr.shape != tuple(flax_shape):
+        raise ValueError(
+            f"shape mismatch for {leaf}: torch {arr.shape} vs flax {tuple(flax_shape)}")
+    return arr
+
+
+def torch_to_flax_variables(
+    state_dict: Mapping[str, "np.ndarray"],
+    flax_variables,
+    rules: Sequence[Tuple[str, str]] = (),
+    strict: bool = True,
+    key_prefix: str = "",
+):
+    """Fill `flax_variables` (as returned by model.init) from a torch
+    state_dict. `rules` are (regex, replacement) applied to the dotted module
+    path. Returns a new frozen variable dict.
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        sd[k] = np.asarray(v)
+
+    flat = flatten_dict(unfreeze(flax_variables))
+    out = {}
+    used = set()
+    missing = []
+    for full_path, leaf_val in flat.items():
+        collection, *path = full_path
+        tkey = key_prefix + _to_torch_key(tuple(path), rules)
+        if tkey not in sd:
+            missing.append((full_path, tkey))
+            continue
+        out[full_path] = _convert_leaf(sd[tkey], full_path[-1],
+                                       np.shape(leaf_val)).astype(
+                                           np.asarray(leaf_val).dtype)
+        used.add(tkey)
+
+    if missing and strict:
+        raise KeyError(f"no torch key for flax leaves: {missing[:8]}"
+                       f" ({len(missing)} total)")
+    unused = [k for k in sd
+              if k not in used and not k.endswith(IGNORED_TORCH_SUFFIXES)
+              and k.startswith(key_prefix)]
+    if unused and strict:
+        raise KeyError(f"unused torch keys: {unused[:8]} ({len(unused)} total)")
+
+    for full_path in missing:
+        out[full_path[0]] = flat[full_path[0]]
+    return freeze(unflatten_dict(out))
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch .pt state_dict to numpy without needing CUDA."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    if "state_dict" in obj and isinstance(obj["state_dict"], dict):
+        obj = obj["state_dict"]
+    return {k: v.detach().cpu().numpy() for k, v in obj.items()
+            if hasattr(v, "detach")}
+
+
+# Per-model path rewrite rules: flax child name -> torch module path.
+MODEL_RULES = {
+    "ECAPA_TDNN": [
+        (r"\bblock_(\d+)\b", r"se_res2block.\1"),
+        (r"\bconvs_(\d+)\b", r"convs.\1"),
+        (r"\bbns_(\d+)\b", r"bns.\1"),
+    ],
+    "ResNet": [
+        (r"\blayer(\d)_(\d+)\b", r"layer\1.\2"),
+        (r"\bshortcut_conv\b", "shortcut.0"),
+        (r"\bshortcut_bn\b", "shortcut.1"),
+    ],
+    "XVEC": [],
+    "CAMPPlus": [
+        (r"\blayer(\d)_(\d+)\b", r"layer\1.\2"),
+        (r"\bshortcut_conv\b", "shortcut.0"),
+        (r"\bshortcut_bn\b", "shortcut.1"),
+        (r"\bnonlinear_bn\b", "nonlinear.batchnorm"),
+        (r"\bstats\b", "stats"),
+    ],
+}
+
+
+def rules_for(model_name: str) -> Sequence[Tuple[str, str]]:
+    for prefix, rules in MODEL_RULES.items():
+        if model_name.startswith(prefix):
+            return rules
+    return ()
