@@ -43,3 +43,26 @@ def test_ecapa_c512(glob_att):
 
 def test_ecapa_c1024():
     _parity("ECAPA_TDNN_c1024", embed_dim=192)
+
+
+@pytest.mark.parametrize("two_emb", [False, True])
+def test_resnet34(two_emb):
+    _parity("ResNet34", embed_dim=256, two_emb_layer=two_emb)
+
+
+def test_resnet50_bottleneck():
+    _parity("ResNet50", embed_dim=256)
+
+
+def test_resnet34_astp():
+    _parity("ResNet34", embed_dim=256, pooling_func="ASTP")
+
+
+def test_xvec():
+    _parity("XVEC", embed_dim=512)
+
+
+@pytest.mark.parametrize("T", [200, 250])
+def test_campplus(T):
+    # T=250 exercises the partial (ceil-mode) final segment of seg_pooling
+    _parity("CAMPPlus", embed_dim=512, T=T)

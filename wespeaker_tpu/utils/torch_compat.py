@@ -134,8 +134,8 @@ MODEL_RULES = {
         (r"\blayer(\d)_(\d+)\b", r"layer\1.\2"),
         (r"\bshortcut_conv\b", "shortcut.0"),
         (r"\bshortcut_bn\b", "shortcut.1"),
-        (r"\bnonlinear_bn\b", "nonlinear.batchnorm"),
-        (r"\bstats\b", "stats"),
+        (r"\bout_nonlinear_bn\b", "out_nonlinear.batchnorm"),
+        (r"\bnonlinear(\d?)_bn\b", r"nonlinear\1.batchnorm"),
     ],
 }
 
