@@ -7,7 +7,7 @@ jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
 from tests.conftest import reference_available
-from tests.torch_ref import import_reference_get_speaker_model  # noqa: F401
+from tests.torch_ref import import_reference_module  # noqa: F401
 from wespeaker_tpu.models import projections as proj
 from wespeaker_tpu.utils import schedulers as sched
 
@@ -16,9 +16,7 @@ pytestmark = pytest.mark.skipif(not reference_available(),
 
 
 def _ref_projections():
-    import_reference_get_speaker_model()  # ensures stubs + path
-    import importlib
-    return importlib.import_module("wespeaker.models.projections")
+    return import_reference_module("wespeaker.models.projections")
 
 
 def _run_parity(ref_head, jax_head, margin, B=16, D=100, C=200, seed=0,
@@ -87,9 +85,7 @@ def test_sphereface2():
 
 
 def test_lr_schedulers_match_reference():
-    import_reference_get_speaker_model()
-    import importlib
-    rs = importlib.import_module("wespeaker.utils.schedulers")
+    rs = import_reference_module("wespeaker.utils.schedulers")
 
     ref = rs.ExponentialDecrease(None, 6, 500, 0.6, 0.1, warm_up_epoch=2,
                                  scale_ratio=4)
@@ -113,9 +109,7 @@ def test_lr_schedulers_match_reference():
 
 def test_margin_scheduler_matches_reference():
     import types
-    import_reference_get_speaker_model()
-    import importlib
-    rs = importlib.import_module("wespeaker.utils.schedulers")
+    rs = import_reference_module("wespeaker.utils.schedulers")
 
     class _Proj:
         margin = 0.0

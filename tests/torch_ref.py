@@ -9,10 +9,10 @@ import numpy as np
 from tests.conftest import add_reference_to_path
 
 
-def import_reference_get_speaker_model(max_stubs=20):
-    """Import the reference model registry, stubbing unavailable third-party
-    modules (silero_vad, torchaudio, kaldiio, ...) that the reference
-    package __init__ drags in but the torch model files never use."""
+def import_reference_module(module_name, max_stubs=20):
+    """Import a reference module, stubbing unavailable third-party modules
+    (silero_vad, torchaudio, kaldiio, kaldi_io, ...) that the reference
+    package __init__ drags in but the target module never really uses."""
     import importlib
     import sys
     import types
@@ -33,8 +33,7 @@ def import_reference_get_speaker_model(max_stubs=20):
             sys.modules[pkg] = m
     for _ in range(max_stubs):
         try:
-            mod = importlib.import_module("wespeaker.models.speaker_model")
-            return mod.get_speaker_model
+            return importlib.import_module(module_name)
         except ModuleNotFoundError as e:
             name = e.name
             if name is None or name.startswith("wespeaker"):
@@ -49,6 +48,11 @@ def import_reference_get_speaker_model(max_stubs=20):
         except (ImportError, AttributeError) as e:
             raise RuntimeError(f"cannot import reference models: {e}")
     raise RuntimeError("too many stub modules required")
+
+
+def import_reference_get_speaker_model():
+    return import_reference_module(
+        "wespeaker.models.speaker_model").get_speaker_model
 
 
 def build_reference_model(model_name, seed=0, randomize_bn_stats=True,
