@@ -32,15 +32,26 @@ def import_reference_module(module_name, max_stubs=20):
             m.__synthetic__ = True
             sys.modules[pkg] = m
     for _ in range(max_stubs):
+        before = set(sys.modules)
         try:
             return importlib.import_module(module_name)
         except ModuleNotFoundError as e:
             name = e.name
             if name is None or name.startswith("wespeaker"):
                 raise
+            # roll back modules left partially initialized by the failed
+            # attempt (e.g. torch's deep import chain), then stub and retry
+            for mod in set(sys.modules) - before:
+                del sys.modules[mod]
             stub = types.ModuleType(name)
             stub.__path__ = []  # make it a package so submodule imports work
-            stub.__getattr__ = lambda attr: types.SimpleNamespace()  # PEP 562
+
+            def _stub_getattr(attr):  # PEP 562
+                if attr.startswith("__"):  # keep introspection honest
+                    raise AttributeError(attr)
+                return types.SimpleNamespace()
+
+            stub.__getattr__ = _stub_getattr
             sys.modules[name] = stub
             parent = name.rsplit(".", 1)
             if len(parent) == 2 and parent[0] in sys.modules:
