@@ -1,0 +1,135 @@
+"""Data pipeline tests over a synthetic mini-corpus."""
+
+import json
+import os
+import tarfile
+
+import numpy as np
+import pytest
+
+from wespeaker_tpu.data import pipeline as P
+from wespeaker_tpu.data.dataset import Prefetcher, SpeakerDataset
+from wespeaker_tpu.data.store import PackedAudioStore, build_packed_store
+from wespeaker_tpu.data.wav_io import read_wav, write_wav
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    rng = np.random.default_rng(0)
+    sr = 16000
+    wav_dir = tmp_path / "wav"
+    wav_dir.mkdir()
+    entries = []
+    for spk in range(3):
+        for utt in range(4):
+            key = f"spk{spk}_utt{utt}"
+            wav = rng.uniform(-0.3, 0.3, sr * 3).astype(np.float32)
+            path = wav_dir / f"{key}.wav"
+            write_wav(path, wav, sr)
+            entries.append((key, f"spk{spk}", str(path)))
+
+    raw_list = tmp_path / "raw.list"
+    with open(raw_list, "w") as f:
+        for key, spk, path in entries:
+            f.write(json.dumps({"key": key, "spk": spk, "wav": path}) + "\n")
+
+    shard_path = tmp_path / "shard_0.tar"
+    with tarfile.open(shard_path, "w") as tf:
+        for key, spk, path in entries:
+            tf.add(path, arcname=f"{key}.wav")
+            spk_file = tmp_path / f"{key}.spk"
+            spk_file.write_text(spk)
+            tf.add(spk_file, arcname=f"{key}.spk")
+    shard_list = tmp_path / "shard.list"
+    shard_list.write_text(str(shard_path) + "\n")
+
+    noise_list = [(f"noise_{i}", str(wav_dir / f"spk0_utt{i}.wav"))
+                  for i in range(2)]
+    build_packed_store(noise_list, str(tmp_path / "noise"), sr)
+
+    spk2id = {f"spk{i}": i for i in range(3)}
+    return dict(tmp_path=tmp_path, raw_list=str(raw_list),
+                shard_list=str(shard_list),
+                noise_prefix=str(tmp_path / "noise"), spk2id=spk2id)
+
+
+def test_wav_io_roundtrip(tmp_path):
+    wav = np.random.default_rng(0).uniform(-0.5, 0.5, 16000).astype(np.float32)
+    write_wav(tmp_path / "a.wav", wav, 16000)
+    got, sr = read_wav(str(tmp_path / "a.wav"))
+    assert sr == 16000
+    np.testing.assert_allclose(got, wav, atol=1 / 16384.0)
+
+
+def test_packed_store(corpus):
+    store = PackedAudioStore(corpus["noise_prefix"])
+    assert len(store) == 2
+    key, wav = store.random_one(np.random.default_rng(0))
+    assert key.startswith("noise_")
+    assert wav.ndim == 1 and len(wav) == 48000
+
+
+CFG = {
+    "resample_rate": 16000,
+    "shuffle": True,
+    "shuffle_args": {"shuffle_size": 8},
+    "speed_perturb": True,
+    "num_frms": 200,
+    "aug_prob": 0.6,
+    "fbank_args": {"frame_shift": 10, "frame_length": 25},
+    "filter_args": {"min_num_frames": 100, "max_num_frames": 800},
+}
+
+
+@pytest.mark.parametrize("data_type", ["raw", "shard"])
+def test_dataset_batches(corpus, data_type):
+    ds = SpeakerDataset(data_type, corpus[f"{data_type}_list"], CFG,
+                        corpus["spk2id"],
+                        noise_store_prefix=corpus["noise_prefix"])
+    batches = list(Prefetcher(ds.batches(4, max_epochs=1)))
+    assert batches, "no batches produced"
+    for b in batches:
+        assert b["wav"].shape == (4, 32240)  # 200-frame chunks
+        assert b["wav"].dtype == np.float32
+        assert b["label"].shape == (4,)
+        assert (0 <= b["label"]).all() and (b["label"] < 9).all()  # 3 spk x 3
+    assert ds.num_classes() == 9
+
+
+def test_speed_perturb_labels_and_length():
+    sr = 16000
+    wav = np.random.default_rng(0).uniform(-0.3, 0.3, sr).astype(np.float32)
+    samples = [{"key": "k", "wav": wav, "sample_rate": sr, "label": 2}]
+    out = list(P.speed_perturb_expand(iter(samples), num_spks=5))
+    assert [s["label"] for s in out] == [2, 7, 12]
+    assert len(out[1]["wav"]) == pytest.approx(sr / 0.9, rel=1e-3)
+    assert len(out[2]["wav"]) == pytest.approx(sr / 1.1, rel=1e-3)
+
+
+def test_distributed_striding_partitions():
+    lists = [f"f{i}" for i in range(100)]
+    parts = [P.distributed_shard(lists, epoch=3, rank=r, world_size=4)
+             for r in range(4)]
+    everything = sorted(sum(parts, []))
+    assert everything == sorted(lists)
+    assert all(len(p) == 25 for p in parts)
+    # same epoch -> same global order across ranks
+    parts_again = P.distributed_shard(lists, epoch=3, rank=1, world_size=4)
+    assert parts[1] == parts_again
+
+
+def test_chunk_repeat_pad():
+    rng = np.random.default_rng(0)
+    short = np.arange(10, dtype=np.float32)
+    out = P.get_random_chunk(short, 25, rng)
+    assert out.shape == (25,)
+    np.testing.assert_array_equal(out[:10], short)
+    np.testing.assert_array_equal(out[10:20], short)
+
+
+def test_whole_utt_eval_mode(corpus):
+    ds = SpeakerDataset("raw", corpus["raw_list"], {**CFG, "shuffle": False},
+                        corpus["spk2id"], train=False, repeat=False)
+    batches = list(ds.batches(1, max_epochs=1))
+    assert len(batches) == 12
+    assert batches[0]["wav"].shape == (1, 48000)  # whole 3s utterance

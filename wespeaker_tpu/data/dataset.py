@@ -1,0 +1,145 @@
+"""Dataset composition + background prefetch.
+
+Behavioral spec: wespeaker/dataset/dataset.py:136-273 — the Dataset() factory
+wiring the processor chain, with infinite repeat + per-epoch reshuffle for
+training. The reference uses torch DataLoader workers; here a thread-pool
+prefetcher feeds fixed-shape numpy batches to the jitted train step (device
+fbank), which is plenty because the heavy DSP (fbank) moved on-device.
+"""
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from wespeaker_tpu.data import pipeline as P
+from wespeaker_tpu.data.store import PackedAudioStore
+
+
+class SpeakerDataset:
+    """Iterable over fixed-shape training batches."""
+
+    def __init__(self, data_type: str, data_list_file: str, configs: Dict,
+                 spk2id: Dict[str, int], reverb_store_prefix: str = None,
+                 noise_store_prefix: str = None, train: bool = True,
+                 rank: int = 0, world_size: int = 1, seed: int = 42,
+                 repeat: bool = True):
+        assert data_type in ("shard", "raw", "feat")
+        self.data_type = data_type
+        self.lists = P.read_lists(data_list_file)
+        self.configs = configs
+        self.spk2id = spk2id
+        self.train = train
+        self.rank = rank
+        self.world_size = world_size
+        self.seed = seed
+        self.repeat = repeat
+        self.reverb = (PackedAudioStore(reverb_store_prefix)
+                       if reverb_store_prefix else None)
+        self.noise = (PackedAudioStore(noise_store_prefix)
+                      if noise_store_prefix else None)
+
+    def _epoch_iter(self, epoch: int) -> Iterator[dict]:
+        cfg = self.configs
+        rng = np.random.default_rng(self.seed + 1000 * epoch + self.rank)
+        lists = P.distributed_shard(self.lists, epoch=epoch,
+                                    shuffle=cfg.get("shuffle", self.train),
+                                    seed=self.seed, rank=self.rank,
+                                    world_size=self.world_size)
+        feat_mode = self.data_type == "feat"
+        if self.data_type == "shard":
+            data = P.parse_shard(lists)
+        elif self.data_type == "raw":
+            data = P.parse_raw(lists)
+        else:
+            utt2spk = {}
+            with open(cfg["utt2spk"]) as f:
+                for line in f:
+                    u, s = line.split()
+                    utt2spk[u] = s
+            data = P.parse_feat(lists, utt2spk)
+
+        if not feat_mode:
+            data = P.resample(data, cfg.get("resample_rate", 16000))
+        if self.train and cfg.get("shuffle", True):
+            data = P.local_shuffle(
+                data, cfg.get("shuffle_args", {}).get("shuffle_size", 2500),
+                rng)
+        data = P.spk_to_id(data, self.spk2id)
+
+        if self.train:
+            num_spks = len(self.spk2id)
+            if not feat_mode and cfg.get("speed_perturb", True):
+                if cfg.get("speed_perturb_mode", "random") == "expanded":
+                    data = P.speed_perturb_expand(data, num_spks)
+                else:
+                    data = P.speed_perturb(data, num_spks, rng)
+            fbank_args = cfg.get("fbank_args", {})
+            frame_shift = fbank_args.get("frame_shift", 10)
+            frame_length = fbank_args.get("frame_length", 25)
+            data = P.filter_and_cap(
+                data, cfg.get("filter_args", {}).get("min_num_frames", 100),
+                cfg.get("filter_args", {}).get("max_num_frames", 800),
+                frame_shift, rng, feat_mode)
+            num_frms = cfg.get("num_frms", 200)
+            if feat_mode:
+                chunk_len = num_frms
+            else:
+                sr = cfg.get("resample_rate", 16000)
+                chunk_len = ((num_frms - 1) * frame_shift
+                             + frame_length) * sr // 1000
+            data = P.random_chunk(data, chunk_len, rng, feat_mode)
+            if not feat_mode and cfg.get("aug_prob", 0.6) > 0 and (
+                    self.reverb or self.noise):
+                data = P.add_reverb_noise(data, self.reverb, self.noise,
+                                          cfg.get("aug_prob", 0.6), rng)
+        return data
+
+    def batches(self, batch_size: int, max_epochs: Optional[int] = None
+                ) -> Iterator[dict]:
+        feat_mode = self.data_type == "feat"
+        epoch = 0
+        while True:
+            yield from P.batch_samples(self._epoch_iter(epoch), batch_size,
+                                       feat_mode)
+            epoch += 1
+            if not self.repeat or (max_epochs and epoch >= max_epochs):
+                return
+
+    def num_classes(self) -> int:
+        n = len(self.spk2id)
+        if self.train and self.configs.get("speed_perturb", True) \
+                and self.data_type != "feat":
+            return n * 3  # perturbed speeds are new classes (train.py:141-148)
+        return n
+
+
+class Prefetcher:
+    """Background-thread batch prefetch with bounded queue."""
+
+    def __init__(self, iterator, depth: int = 4):
+        self.q = queue.Queue(maxsize=depth)
+        self._done = object()
+        self._err = None
+
+        def worker():
+            try:
+                for item in iterator:
+                    self.q.put(item)
+            except BaseException as e:  # propagate to consumer
+                self._err = e
+            finally:
+                self.q.put(self._done)
+
+        self.thread = threading.Thread(target=worker, daemon=True)
+        self.thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self.q.get()
+            if item is self._done:
+                if self._err is not None:
+                    raise self._err
+                return
+            yield item
