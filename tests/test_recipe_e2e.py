@@ -1,0 +1,164 @@
+"""End-to-end mini recipe on a synthetic corpus — the integration-test
+equivalent of the reference's staged run.sh (SURVEY.md §4.6): train a tiny
+ECAPA for a few steps, extract embeddings to kaldi ark/scp, cosine-score a
+trial list, AS-Norm, QMF-calibrate, compute EER, and run the PLDA path."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+jax = pytest.importorskip("jax")
+
+from wespeaker_tpu.bin import extract as bin_extract
+from wespeaker_tpu.bin import plda_tools
+from wespeaker_tpu.bin import score as bin_score
+from wespeaker_tpu.bin import score_calibration as bin_cal
+from wespeaker_tpu.bin import score_norm as bin_norm
+from wespeaker_tpu.bin.average_model import average_model
+from wespeaker_tpu.bin.compute_metrics import metrics_for_file
+from wespeaker_tpu.bin.train import train as bin_train
+from wespeaker_tpu.data.wav_io import write_wav
+
+
+def _make_corpus(tmp_path, n_spk=4, n_utt=6, seconds=2.5, sr=16000, seed=0):
+    """Speakers are sinusoid mixtures at speaker-specific frequencies + noise
+    so that even a briefly-trained model separates them."""
+    rng = np.random.default_rng(seed)
+    wav_dir = tmp_path / "wav"
+    wav_dir.mkdir(exist_ok=True)
+    entries = []
+    t = np.arange(int(seconds * sr)) / sr
+    for spk in range(n_spk):
+        freqs = 200 + 150 * spk + rng.uniform(-5, 5, 3)
+        for utt in range(n_utt):
+            sig = sum(np.sin(2 * np.pi * (f + rng.uniform(-2, 2)) * t)
+                      for f in freqs)
+            sig = 0.2 * sig / np.max(np.abs(sig))
+            sig = sig + rng.normal(0, 0.01, len(t))
+            key = f"spk{spk}_utt{utt}"
+            path = wav_dir / f"{key}.wav"
+            write_wav(path, sig.astype(np.float32), sr)
+            entries.append((key, f"spk{spk}", str(path)))
+    return entries
+
+
+@pytest.mark.slow
+def test_full_recipe(tmp_path):
+    entries = _make_corpus(tmp_path)
+    raw_list = tmp_path / "raw.list"
+    with open(raw_list, "w") as f:
+        for key, spk, path in entries:
+            f.write(json.dumps({"key": key, "spk": spk, "wav": path}) + "\n")
+    utt2spk = tmp_path / "utt2spk"
+    with open(utt2spk, "w") as f:
+        for key, spk, _ in entries:
+            f.write(f"{key} {spk}\n")
+
+    exp_dir = tmp_path / "exp"
+    config = {
+        "exp_dir": str(exp_dir),
+        "data_type": "raw",
+        "train_data": str(raw_list),
+        "utt2spk": str(utt2spk),
+        "num_epochs": 2,
+        "log_batch_interval": 5,
+        "model": "ECAPA_TDNN",
+        "model_args": {"feat_dim": 40, "embed_dim": 64, "channels": 64,
+                       "pooling_func": "ASTP"},
+        "projection_args": {"project_type": "arc_margin", "scale": 32.0},
+        "optimizer": "SGD",
+        "optimizer_args": {"weight_decay": 1e-4, "momentum": 0.9},
+        "scheduler": "ExponentialDecrease",
+        "scheduler_args": {"initial_lr": 0.05, "final_lr": 0.01,
+                           "warm_up_epoch": 1},
+        "margin_scheduler_args": {"increase_start_epoch": 1,
+                                  "fix_start_epoch": 2,
+                                  "initial_margin": 0.0,
+                                  "final_margin": 0.1},
+        "dataset_args": {
+            "batch_size": 2,
+            "num_frms": 150,
+            "shuffle": True,
+            "shuffle_args": {"shuffle_size": 8},
+            "speed_perturb": True,
+            "aug_prob": 0.0,
+            "spec_aug": False,
+            "fbank_args": {"num_mel_bins": 40, "frame_shift": 10,
+                           "frame_length": 25, "dither": 0.0},
+            "filter_args": {"min_num_frames": 50, "max_num_frames": 400},
+        },
+        "seed": 7,
+    }
+    config_path = tmp_path / "config.yaml"
+    with open(config_path, "w") as f:
+        yaml.safe_dump(config, f)
+
+    # --- stage 3: train ---
+    bin_train(str(config_path))
+    model_dir = exp_dir / "models"
+    ckpts = sorted(os.listdir(model_dir))
+    assert "model_0.ckpt" in ckpts and "model_1.ckpt" in ckpts
+
+    # --- model averaging ---
+    avg = average_model(str(model_dir), str(model_dir / "avg_model.ckpt"),
+                        num=2)
+
+    # --- stage 4: extract ---
+    emb_prefix = str(tmp_path / "xvector")
+    scp = bin_extract.extract(str(config_path), avg, str(raw_list),
+                              emb_prefix, batch_size=4)
+    from wespeaker_tpu.utils.kaldi_io import read_vec_scp_dict
+    embs = read_vec_scp_dict(scp)
+    assert len(embs) == len(entries)
+    assert next(iter(embs.values())).shape == (64,)
+
+    # --- stage 5: trials + cosine scoring ---
+    keys = [k for k, _, _ in entries]
+    rng = np.random.default_rng(0)
+    trials_path = tmp_path / "trials"
+    with open(trials_path, "w") as f:
+        for a in keys[::2]:
+            for b in keys[1::2]:
+                lab = "target" if a.split("_")[0] == b.split("_")[0] \
+                    else "nontarget"
+                f.write(f"{a} {b} {lab}\n")
+    cal_mean_dir = tmp_path / "mean"
+    cal_mean_dir.mkdir()
+    import shutil
+    shutil.copy(scp, cal_mean_dir / "xvector.scp")
+    score_files = bin_score.score(str(exp_dir), scp, str(cal_mean_dir),
+                                  [str(trials_path)])
+    e, thr, dcf = metrics_for_file(score_files[0])
+    assert 0.0 <= e <= 100.0
+
+    # --- stage 6: AS-Norm (cohort = training embeddings themselves) ---
+    norm_file = str(tmp_path / "trials.asnorm")
+    bin_norm.score_norm("asnorm", 8, score_files[0], norm_file, scp, scp,
+                        str(cal_mean_dir / "mean_vec.npy"))
+    with open(norm_file) as f:
+        assert len(f.readlines()) > 0
+
+    # --- stage 7: QMF calibration ---
+    qmf_model = str(tmp_path / "qmf.npz")
+    bin_cal.train_qmf(norm_file, qmf_model)
+    cal_scores = bin_cal.infer_qmf(norm_file, qmf_model,
+                                   str(tmp_path / "trials.cal"))
+    metrics_for_file(cal_scores)
+
+    # --- PLDA path ---
+    plda_model = str(tmp_path / "plda.h5")
+    plda_tools.train_plda(scp, str(utt2spk), plda_model, embed_dim=64,
+                          num_iters=3)
+    # vox-style trials: both sides are utterances -> identity enroll map
+    utt2utt = tmp_path / "utt2utt"
+    with open(utt2utt, "w") as f:
+        for key, _, _ in entries:
+            f.write(f"{key} {key}\n")
+    plda_scores = plda_tools.eval_plda(scp, str(utt2utt), scp,
+                                       str(trials_path),
+                                       str(tmp_path / "plda.score"),
+                                       plda_model)
+    metrics_for_file(plda_scores)

@@ -1,0 +1,97 @@
+"""Embedding extraction CLI: raw list -> kaldi ark/scp embeddings.
+
+Behavioral spec: wespeaker/bin/extract.py:33-143 (test-mode dataset: no aug,
+dither=0, whole utterances; kaldi ark/scp output).
+
+TPU-native: variable-length utterances are length-sorted into padded
+static-shape buckets with validity masks (masked CMVN + masked pooling), so
+the whole batch runs jit-compiled instead of the reference's batch=1 loop.
+"""
+
+import argparse
+import json
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wespeaker_tpu.data.dataset import eval_batches
+from wespeaker_tpu.data.wav_io import read_wav
+from wespeaker_tpu.frontend import FbankConfig
+from wespeaker_tpu.models import get_speaker_model
+from wespeaker_tpu.train import make_eval_embed_fn
+from wespeaker_tpu.utils import checkpoint as ckpt
+from wespeaker_tpu.utils.config import parse_config_or_kwargs
+from wespeaker_tpu.utils.kaldi_io import write_vec_ark_scp
+
+
+def load_model_for_eval(configs, checkpoint_path):
+    model = get_speaker_model(configs["model"])(**configs["model_args"])
+    feat_dim = configs["model_args"].get("feat_dim", 80)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, feat_dim)), train=False)
+    loaded = ckpt.load_checkpoint(checkpoint_path, {
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {})})
+    return model, {"params": loaded["params"],
+                   "batch_stats": loaded.get("batch_stats", {})}
+
+
+def iter_wavs_from_list(data_list):
+    with open(data_list) as f:
+        for line in f:
+            obj = json.loads(line)
+            wav, sr = read_wav(obj["wav"])
+            if wav.ndim > 1:
+                wav = wav[0]
+            if "vad" in obj and obj["vad"]:
+                segs = [wav[int(s * sr):int(e * sr)] for s, e in obj["vad"]]
+                wav = np.concatenate(segs) if segs else wav
+            yield obj["key"], wav
+
+
+def extract(config, checkpoint_path, data_list, out_prefix, batch_size=8,
+            overrides=None, **kwargs):
+    configs = parse_config_or_kwargs(config, overrides, **kwargs)
+    model, variables = load_model_for_eval(configs, checkpoint_path)
+
+    fbank_args = configs.get("dataset_args", {}).get("fbank_args", {})
+    fbank_cfg = FbankConfig(
+        num_mel_bins=fbank_args.get("num_mel_bins",
+                                    configs["model_args"].get("feat_dim", 80)),
+        frame_length_ms=fbank_args.get("frame_length", 25),
+        frame_shift_ms=fbank_args.get("frame_shift", 10),
+        dither=0.0)
+    embed_fn = jax.jit(make_eval_embed_fn(model, fbank_cfg))
+
+    def items():
+        for batch in eval_batches(iter_wavs_from_list(data_list),
+                                  batch_size=batch_size):
+            emb = np.asarray(embed_fn(variables, {
+                "wav": jnp.asarray(batch["wav"]),
+                "mask": jnp.asarray(batch["mask"])}))
+            for key, vec in zip(batch["key"], emb):
+                yield key, vec
+
+    ark, scp = write_vec_ark_scp(out_prefix, items())
+    logging.info(f"wrote {ark} / {scp}")
+    return scp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--data_list", required=True)
+    ap.add_argument("--out_prefix", required=True)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args()
+    extract(args.config, args.checkpoint, args.data_list, args.out_prefix,
+            args.batch_size, args.overrides)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,196 @@
+"""Supervised trainer CLI.
+
+Behavioral spec: wespeaker/bin/train.py:39-266 — config-driven: spk2id from
+utt2spk, dataset, model+projection (num_class x3 under speed perturb),
+iteration-granular LR/margin schedules with scale_ratio = world*batch/64,
+per-epoch checkpoint save, filename-based resume.
+
+TPU-native: one jitted train step over a ('data',) mesh (XLA grad psum = DDP
+all-reduce), device-side fbank/cmvn/spec-aug, host pipeline prefetch.
+
+Usage: python -m wespeaker_tpu.bin.train --config conf.yaml [k=v ...]
+"""
+
+import argparse
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wespeaker_tpu.data.dataset import Prefetcher, SpeakerDataset
+from wespeaker_tpu.data.pipeline import spk2id_from_utt2spk
+from wespeaker_tpu.frontend import FbankConfig
+from wespeaker_tpu.models import get_speaker_model
+from wespeaker_tpu.models.projections import get_projection
+from wespeaker_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+from wespeaker_tpu.train import (AugConfig, init_train_state, make_train_step)
+from wespeaker_tpu.train.optim import lr_scale_ratio, make_optimizer
+from wespeaker_tpu.utils import checkpoint as ckpt
+from wespeaker_tpu.utils.config import dump_yaml, parse_config_or_kwargs
+from wespeaker_tpu.utils.schedulers import MarginScheduler, get_lr_scheduler
+
+
+def setup_logger(exp_dir):
+    os.makedirs(exp_dir, exist_ok=True)
+    logger = logging.getLogger("wespeaker_tpu")
+    logger.setLevel(logging.INFO)
+    if not logger.handlers:
+        fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+        for h in (logging.StreamHandler(),
+                  logging.FileHandler(os.path.join(exp_dir, "train.log"))):
+            h.setFormatter(fmt)
+            logger.addHandler(h)
+    return logger
+
+
+def build_from_config(configs, num_class):
+    feat_dim = configs["model_args"].get("feat_dim", 80)
+    model = get_speaker_model(configs["model"])(**configs["model_args"])
+    proj_conf = dict(configs.get("projection_args", {}))
+    proj_conf.setdefault("project_type", "arc_margin")
+    proj_conf["embed_dim"] = configs["model_args"]["embed_dim"]
+    proj_conf["num_class"] = num_class
+    proj_conf.setdefault("scale", 32.0)
+    proj_conf.setdefault("easy_margin", False)
+    projection = get_projection(proj_conf)
+    return model, projection, feat_dim
+
+
+def train(config: str, overrides=None, **kwargs):
+    configs = parse_config_or_kwargs(config, overrides, **kwargs)
+    exp_dir = configs["exp_dir"]
+    model_dir = os.path.join(exp_dir, "models")
+    os.makedirs(model_dir, exist_ok=True)
+    logger = setup_logger(exp_dir)
+
+    rank = jax.process_index()
+    world = jax.process_count()
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+
+    spk2id = spk2id_from_utt2spk(configs["spk2id"]
+                                 if "spk2id" in configs
+                                 else configs["utt2spk"])
+    dataset_args = configs["dataset_args"]
+    dataset = SpeakerDataset(
+        configs["data_type"], configs["train_data"], dataset_args, spk2id,
+        reverb_store_prefix=configs.get("reverb_data"),
+        noise_store_prefix=configs.get("noise_data"),
+        rank=rank, world_size=world, seed=configs.get("seed", 42))
+    num_class = dataset.num_classes()
+    logger.info(f"speakers: {len(spk2id)} classes: {num_class} "
+                f"devices: {n_dev} hosts: {world}")
+
+    model, projection, feat_dim = build_from_config(configs, num_class)
+    tx = make_optimizer(configs)
+
+    batch_size = dataset_args.get("batch_size", 64)
+    global_batch = batch_size * n_dev
+    num_epochs = configs.get("num_epochs", 10)
+    with open(configs["train_data"]) as f:
+        num_samples = sum(1 for _ in f)
+    if configs["data_type"] == "shard":
+        num_samples = configs.get("samples_per_epoch", num_samples * 1000)
+    epoch_iter = max(num_samples // (global_batch), 1)
+
+    sched_args = dict(configs.get("scheduler_args", {}))
+    sched_args.setdefault("initial_lr", 0.1)
+    sched_args.setdefault("final_lr", 5e-5)
+    sched_args.setdefault("warm_up_epoch", 6)
+    sched_args["num_epochs"] = num_epochs
+    sched_args["epoch_iter"] = epoch_iter
+    sched_args["scale_ratio"] = lr_scale_ratio(1, global_batch)
+    lr_fn = get_lr_scheduler(configs.get("scheduler", "ExponentialDecrease"),
+                             **sched_args)
+    margin_args = dict(configs.get("margin_scheduler_args",
+                                   configs.get("margin_update", {})))
+    margin_fn = MarginScheduler(
+        epoch_iter=epoch_iter,
+        increase_start_epoch=margin_args.get("increase_start_epoch", 20),
+        fix_start_epoch=margin_args.get("fix_start_epoch", 40),
+        initial_margin=margin_args.get("initial_margin", 0.0),
+        final_margin=margin_args.get("final_margin", 0.2),
+        increase_type=margin_args.get("increase_type", "exp"))
+
+    fbank_args = dataset_args.get("fbank_args", {})
+    fbank_cfg = FbankConfig(
+        num_mel_bins=fbank_args.get("num_mel_bins", feat_dim),
+        frame_length_ms=fbank_args.get("frame_length", 25),
+        frame_shift_ms=fbank_args.get("frame_shift", 10),
+        dither=fbank_args.get("dither", 1.0))
+    aug = AugConfig(**dataset_args.get("spec_aug_args", {})) \
+        if dataset_args.get("spec_aug", True) else AugConfig(spec_aug=False)
+
+    step_fn = make_train_step(
+        model, projection, tx, lr_fn, margin_fn, fbank_cfg, aug,
+        compute_dtype=jnp.bfloat16 if configs.get("enable_amp") else
+        jnp.float32)
+    state = init_train_state(model, projection, tx,
+                             jax.random.PRNGKey(configs.get("seed", 42)),
+                             feat_dim=feat_dim,
+                             embed_dim=configs["model_args"]["embed_dim"])
+
+    start_epoch = 0
+    if configs.get("checkpoint"):
+        variables = {"params": state.params["model"],
+                     "batch_stats": state.batch_stats}
+        loaded = ckpt.load_checkpoint(configs["checkpoint"], variables)
+        state = state.replace(
+            params={**state.params, "model": loaded["params"]},
+            batch_stats=loaded["batch_stats"])
+        start_epoch = ckpt.parse_start_epoch(configs["checkpoint"])
+        logger.info(f"resumed from {configs['checkpoint']} "
+                    f"at epoch {start_epoch}")
+
+    rep = replicated(mesh)
+    state = jax.device_put(state, rep)
+    step_jit = jax.jit(step_fn, out_shardings=(rep, rep))
+
+    if rank == 0:
+        dump_yaml({**configs, "num_class": num_class,
+                   "epoch_iter": epoch_iter}, os.path.join(exp_dir,
+                                                           "config.yaml"))
+
+    log_interval = configs.get("log_batch_interval", 100)
+    batches = iter(Prefetcher(dataset.batches(global_batch)))
+    for epoch in range(start_epoch, num_epochs):
+        t0 = time.time()
+        for it in range(epoch_iter):
+            batch = next(batches)
+            device_batch = shard_batch(
+                mesh, {"wav": batch.get("wav", batch.get("feat")),
+                       "label": batch["label"]}
+                if "wav" in batch else
+                {"feat": batch["feat"], "label": batch["label"]})
+            state, metrics = step_jit(state, device_batch)
+            if it % log_interval == 0:
+                m = jax.device_get(metrics)
+                logger.info(
+                    f"epoch {epoch} it {it}/{epoch_iter} "
+                    f"loss {float(m['loss']):.4f} acc {float(m['acc']):.4f} "
+                    f"lr {float(m['lr']):.6f} margin "
+                    f"{float(m['margin']):.3f}")
+        logger.info(f"epoch {epoch} done in {time.time() - t0:.1f}s")
+        if rank == 0:
+            variables = jax.device_get(
+                {"params": state.params["model"],
+                 "batch_stats": state.batch_stats,
+                 "projection": state.params["projection"]})
+            ckpt.save_checkpoint(
+                os.path.join(model_dir, f"model_{epoch}.ckpt"), variables)
+    return state
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args()
+    train(args.config, args.overrides)
+
+
+if __name__ == "__main__":
+    main()

@@ -115,6 +115,34 @@ class SpeakerDataset:
         return n
 
 
+def eval_batches(utt_wavs, batch_size: int = 8, quantum_samples: int = 16000,
+                 max_samples: Optional[int] = None) -> Iterator[dict]:
+    """Static-shape eval batching for variable-length utterances: sort by
+    length, group, right-pad to the bucket max rounded up to `quantum`, and
+    emit a per-sample validity mask so masked pooling reproduces the
+    reference's unpadded batch=1 extraction (extract.py:112-135).
+
+    utt_wavs: iterable of (key, float32 wav). Sorting bounds the number of
+    distinct padded shapes -> bounded XLA recompiles."""
+    items = list(utt_wavs)
+    items.sort(key=lambda kv: len(kv[1]))
+    for i in range(0, len(items), batch_size):
+        group = items[i:i + batch_size]
+        longest = max(len(w) for _, w in group)
+        if max_samples is not None:
+            longest = min(longest, max_samples)
+        padded_len = -(-longest // quantum_samples) * quantum_samples
+        wavs = np.zeros((len(group), padded_len), np.float32)
+        mask = np.zeros((len(group), padded_len), np.float32)
+        keys = []
+        for j, (key, wav) in enumerate(group):
+            wav = wav[:padded_len]
+            wavs[j, :len(wav)] = wav
+            mask[j, :len(wav)] = 1.0
+            keys.append(key)
+        yield {"wav": wavs, "mask": mask, "key": keys}
+
+
 class Prefetcher:
     """Background-thread batch prefetch with bounded queue."""
 
