@@ -17,8 +17,11 @@ pytestmark = pytest.mark.skipif(not reference_available(),
                                 reason="reference repo not mounted")
 
 
-def _parity(model_name, tol=2e-4, cos_tol=1e-6, B=2, T=200, F=80, **kwargs):
-    ref_model = build_reference_model(model_name, feat_dim=F, **kwargs)
+def _parity(model_name, tol=2e-4, cos_tol=1e-6, B=2, T=200, F=80,
+            ref_kwargs=None, **kwargs):
+    rkw = dict(kwargs) if ref_kwargs is None else dict(ref_kwargs)
+    ref_model = build_reference_model(model_name, feat_dim=F, **rkw) \
+        if ref_kwargs is None else build_reference_model(model_name, **rkw)
     x = np.random.default_rng(0).normal(size=(B, T, F)).astype(np.float32)
     want = reference_embedding(ref_model, x)
 
@@ -66,3 +69,33 @@ def test_xvec():
 def test_campplus(T):
     # T=250 exercises the partial (ceil-mode) final segment of seg_pooling
     _parity("CAMPPlus", embed_dim=512, T=T)
+
+
+def test_eres2net_base():
+    _parity("ERes2Net34_Base", embed_dim=192)
+
+
+def test_eres2net_aug():
+    _parity("ERes2Net34_aug", embed_dim=192, two_emb_layer=True)
+
+
+def test_res2net():
+    _parity("Res2Net34_Base", embed_dim=192)
+
+
+def test_gemini_dfresnet():
+    _parity("Gemini_DF_ResNet60", embed_dim=128)
+
+
+def test_samresnet():
+    # the reference constructor takes acoustic_dim, not feat_dim
+    _parity("SimAM_ResNet34_ASP", embed_dim=256,
+            ref_kwargs={"embed_dim": 256, "acoustic_dim": 80})
+
+
+def test_xi_vec_ecapa():
+    _parity("XI_VEC_ECAPA_TDNN_c512", embed_dim=192)
+
+
+def test_xi_vec_xvec():
+    _parity("XI_VEC_XVEC", embed_dim=512)

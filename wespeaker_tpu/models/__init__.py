@@ -13,8 +13,18 @@ _MODULES = [ecapa_tdnn]
 def _register_extra():
     global _MODULES
     # Imported lazily so partially-built model families don't break the core.
-    from wespeaker_tpu.models import campplus, resnet, tdnn  # noqa: F401
-    _MODULES = [ecapa_tdnn, resnet, tdnn, campplus]
+    from wespeaker_tpu.models import (  # noqa: F401
+        campplus,
+        eres2net,
+        gemini_dfresnet,
+        res2net,
+        resnet,
+        samresnet,
+        tdnn,
+        xi_vector,
+    )
+    _MODULES = [ecapa_tdnn, resnet, tdnn, campplus, eres2net, res2net,
+                gemini_dfresnet, samresnet, xi_vector]
 
 
 def get_speaker_model(model_name: str):

@@ -224,7 +224,7 @@ class XVectorTrunk(nn.Module):
         if return_frame_feat:
             return x
         stats = get_pooling(self.pooling_func, channels,
-                            name="stats")(x, mask)
+                            name="stats")(x, mask, train)
         return DenseLayer(self.embed_dim, name="dense")(stats, train)
 
 

@@ -132,7 +132,7 @@ class ECAPA_TDNN(nn.Module):
         pool_in_dim = 512 * 3
         pooled = get_pooling(self.pooling_func, pool_in_dim,
                              global_context_att=self.global_context_att,
-                             name="pool")(out, mask)
+                             name="pool")(out, mask, train)
         pooled = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                               epsilon=1e-5, name="bn")(pooled)
         emb = nn.Dense(self.embed_dim, name="linear")(pooled)

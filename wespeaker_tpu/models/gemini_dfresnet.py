@@ -1,0 +1,112 @@
+"""Gemini DF-ResNet: depth-first inverted bottlenecks with the Golden-Gemini
+T14c stride strategy (freq strides 2,2,2,2; time strides 1,2,1,1).
+
+Behavioral spec: wespeaker/models/gemini_dfresnet.py (Inverted_Bottleneck:30,
+Gemini_DF_ResNet:51, constructors :145-178). (B, F, T, C) channels-last;
+the depthwise 3x3 uses feature_group_count=channels.
+"""
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from wespeaker_tpu.models.layers import conv2d
+from wespeaker_tpu.models.pooling_layers import get_pooling
+
+
+def _bn(train, name):
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, name=name)
+
+
+class InvertedBottleneck(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out = nn.relu(_bn(train, "bn1")(
+            conv2d(4 * self.dim, 1, bias=False, name="conv1")(x)))
+        out = nn.relu(_bn(train, "bn2")(
+            conv2d(4 * self.dim, 3, padding=1, groups=4 * self.dim,
+                   bias=False, name="conv2")(out)))
+        out = _bn(train, "bn3")(
+            conv2d(self.dim, 1, bias=False, name="conv3")(out))
+        return nn.relu(out + x)
+
+
+class Gemini_DF_ResNet(nn.Module):
+    depths: Sequence[int]
+    dims: Sequence[int]
+    feat_dim: int = 40
+    embed_dim: int = 128
+    pooling_func: str = "TSTP"
+    two_emb_layer: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None,
+                 train: bool = False, return_frame_feat: bool = False):
+        h = jnp.transpose(x, (0, 2, 1))[..., None]
+        # stem: downsample_layers.0 = conv+bn+relu
+        h = nn.relu(_bn(train, "downsample_layers_0_1")(
+            conv2d(self.dims[0], 3, padding=1, bias=False,
+                   name="downsample_layers_0_0")(h)))
+        stride_f = [2, 2, 2, 2]
+        stride_t = [1, 2, 1, 1]
+        for i in range(4):
+            h = _bn(train, f"downsample_layers_{i + 1}_1")(
+                conv2d(self.dims[i + 1], 3,
+                       stride=(stride_f[i], stride_t[i]), padding=1,
+                       bias=False, name=f"downsample_layers_{i + 1}_0")(h))
+            for j in range(self.depths[i]):
+                h = InvertedBottleneck(self.dims[i + 1],
+                                       name=f"stages_{i}_{j}")(h, train)
+
+        b, fdim, tdim, c = h.shape
+        feat = jnp.transpose(h, (0, 2, 3, 1)).reshape(b, tdim, c * fdim)
+        if return_frame_feat:
+            return feat
+        fmask = mask[:, ::2][:, :tdim] if mask is not None else None
+        stats_dim = (self.feat_dim // 16) * self.dims[-1]
+        pooled = get_pooling(self.pooling_func, stats_dim,
+                             name="pool")(feat, fmask, train)
+        embed_a = nn.Dense(self.embed_dim, name="seg_1")(pooled)
+        if self.two_emb_layer:
+            out = nn.relu(embed_a)
+            out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                               epsilon=1e-5, use_scale=False, use_bias=False,
+                               name="seg_bn_1")(out)
+            return nn.Dense(self.embed_dim, name="seg_2")(out)
+        return embed_a
+
+
+def Gemini_DF_ResNet60(feat_dim, embed_dim, pooling_func="TSTP",
+                       two_emb_layer=False):
+    return Gemini_DF_ResNet((3, 3, 9, 3), (32, 32, 64, 128, 256),
+                            feat_dim=feat_dim, embed_dim=embed_dim,
+                            pooling_func=pooling_func,
+                            two_emb_layer=two_emb_layer)
+
+
+def Gemini_DF_ResNet114(feat_dim, embed_dim, pooling_func="TSTP",
+                        two_emb_layer=False):
+    return Gemini_DF_ResNet((3, 3, 27, 3), (32, 32, 64, 128, 256),
+                            feat_dim=feat_dim, embed_dim=embed_dim,
+                            pooling_func=pooling_func,
+                            two_emb_layer=two_emb_layer)
+
+
+def Gemini_DF_ResNet183(feat_dim, embed_dim, pooling_func="TSTP",
+                        two_emb_layer=False):
+    return Gemini_DF_ResNet((3, 8, 45, 3), (32, 32, 64, 128, 256),
+                            feat_dim=feat_dim, embed_dim=embed_dim,
+                            pooling_func=pooling_func,
+                            two_emb_layer=two_emb_layer)
+
+
+def Gemini_DF_ResNet237(feat_dim, embed_dim, pooling_func="TSTP",
+                        two_emb_layer=False):
+    return Gemini_DF_ResNet((3, 8, 63, 3), (32, 32, 64, 128, 256),
+                            feat_dim=feat_dim, embed_dim=embed_dim,
+                            pooling_func=pooling_func,
+                            two_emb_layer=two_emb_layer)

@@ -13,6 +13,7 @@ ASTP:92, ASP:151, MHASTP:207, MQMHASTP:281, XI:344). Differences by design:
   relies on it (TSDP/TSTP/ASTP global context).
 """
 
+import dataclasses
 from typing import Optional
 
 import flax.linen as nn
@@ -45,7 +46,8 @@ class TAP(nn.Module):
     in_dim: int = 0
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None,
+                 train: bool = False):
         return masked_mean(x, _mask3(mask), axis=1)
 
     @property
@@ -58,7 +60,8 @@ class TSDP(nn.Module):
     in_dim: int = 0
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None,
+                 train: bool = False):
         return _std(x, mask, ddof=1)[1]
 
     @property
@@ -71,7 +74,8 @@ class TSTP(nn.Module):
     in_dim: int = 0
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None,
+                 train: bool = False):
         mean, std = _std(x, mask, ddof=1)
         return jnp.concatenate([mean, std], axis=-1)
 
@@ -87,7 +91,8 @@ class ASTP(nn.Module):
     global_context_att: bool = False
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None,
+                 train: bool = False):
         if self.global_context_att:
             ctx_mean, ctx_std = _std(x, mask, ddof=1)
             ones = jnp.ones_like(x)
@@ -171,7 +176,8 @@ class MHASTP(nn.Module):
     bottleneck_dim: int = 64
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None,
+                 train: bool = False):
         assert self.in_dim % self.head_num == 0
         d_model = self.in_dim // self.head_num
         d_s = d_model if self.d_s > 1 else 1
@@ -198,7 +204,8 @@ class MQMHASTP(nn.Module):
     bottleneck_dim: int = 64
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None,
+                 train: bool = False):
         outs = [
             MHASTP(self.in_dim, layer_num=self.layer_num,
                    head_num=self.head_num, d_s=self.d_s,
@@ -261,7 +268,11 @@ POOLING_LAYERS = {
 
 
 def get_pooling(pool_type: str, in_dim: int, **kwargs) -> nn.Module:
-    return POOLING_LAYERS[pool_type](in_dim=in_dim, **kwargs)
+    cls = POOLING_LAYERS[pool_type]
+    name = kwargs.pop("name", None)
+    fields = {f.name for f in dataclasses.fields(cls)}
+    kwargs = {k: v for k, v in kwargs.items() if k in fields}
+    return cls(in_dim=in_dim, name=name, **kwargs)
 
 
 def pooling_out_dim(pool_type: str, in_dim: int, **kwargs) -> int:

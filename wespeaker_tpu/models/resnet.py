@@ -118,7 +118,7 @@ class ResNet(nn.Module):
         stats_dim = (self.feat_dim // 8) * self.m_channels * 8
         pooled = get_pooling(self.pooling_func,
                              stats_dim * self.block.expansion,
-                             name="pool")(feat, fmask)
+                             name="pool")(feat, fmask, train)
         embed_a = nn.Dense(self.embed_dim, name="seg_1")(pooled)
         if self.two_emb_layer:
             out = nn.relu(embed_a)

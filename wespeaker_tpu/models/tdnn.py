@@ -54,7 +54,7 @@ class XVEC(nn.Module):
         else:
             fmask = None
         stats = get_pooling(self.pooling_func, self.stats_dim,
-                            name="pool")(out, fmask)
+                            name="pool")(out, fmask, train)
         embed_a = nn.Dense(self.embed_dim, name="seg_1")(stats)
         h = nn.relu(embed_a)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,

@@ -117,19 +117,59 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
             if hasattr(v, "detach")}
 
 
+# Shared rules for XI pooling children (pool.lin1_relu_bn Sequential).
+_XI_RULES = [
+    (r"\blin1_bn\b", "lin1_relu_bn.2"),
+    (r"\blin1\b", "lin1_relu_bn.0"),
+]
+
 # Per-model path rewrite rules: flax child name -> torch module path.
 MODEL_RULES = {
     "ECAPA_TDNN": [
         (r"\bblock_(\d+)\b", r"se_res2block.\1"),
         (r"\bconvs_(\d+)\b", r"convs.\1"),
         (r"\bbns_(\d+)\b", r"bns.\1"),
-    ],
+    ] + _XI_RULES,
+    "XI_VEC_ECAPA_TDNN": [
+        (r"\bblock_(\d+)\b", r"se_res2block.\1"),
+        (r"\bconvs_(\d+)\b", r"convs.\1"),
+        (r"\bbns_(\d+)\b", r"bns.\1"),
+    ] + _XI_RULES,
+    "XI_VEC": _XI_RULES,  # XI_VEC_XVEC
     "ResNet": [
         (r"\blayer(\d)_(\d+)\b", r"layer\1.\2"),
         (r"\bshortcut_conv\b", "shortcut.0"),
         (r"\bshortcut_bn\b", "shortcut.1"),
     ],
-    "XVEC": [],
+    "ERes2Net": [
+        (r"\blayer(\d)_(\d+)\b", r"layer\1.\2"),
+        (r"\bshortcut_conv\b", "shortcut.0"),
+        (r"\bshortcut_bn\b", "shortcut.1"),
+        (r"\bconvs_(\d+)\b", r"convs.\1"),
+        (r"\bbns_(\d+)\b", r"bns.\1"),
+        (r"\bfuse_models_(\d+)\b", r"fuse_models.\1"),
+        (r"\blocal_att_(\d+)\b", r"local_att.\1"),
+    ],
+    "Res2Net": [
+        (r"\blayer(\d)_(\d+)\b", r"layer\1.\2"),
+        (r"\bshortcut_conv\b", "shortcut.0"),
+        (r"\bshortcut_bn\b", "shortcut.1"),
+        (r"\bconvs_(\d+)\b", r"convs.\1"),
+        (r"\bbns_(\d+)\b", r"bns.\1"),
+    ],
+    "Gemini": [
+        (r"\bdownsample_layers_(\d+)_(\d+)\b", r"downsample_layers.\1.\2"),
+        (r"\bstages_(\d+)_(\d+)\b", r"stages.\1.\2"),
+    ],
+    "SimAM_ResNet": [
+        (r"\blayer(\d)_(\d+)\b", r"layer\1.\2"),
+        (r"\bdownsample_conv\b", "downsample.0"),
+        (r"\bdownsample_bn\b", "downsample.1"),
+        (r"\batt_conv1\b", "attention.0"),
+        (r"\batt_bn\b", "attention.2"),
+        (r"\batt_conv2\b", "attention.3"),
+    ],
+    "XVEC": _XI_RULES,
     "CAMPPlus": [
         (r"\blayer(\d)_(\d+)\b", r"layer\1.\2"),
         (r"\bshortcut_conv\b", "shortcut.0"),
