@@ -99,3 +99,49 @@ def test_xi_vec_ecapa():
 
 def test_xi_vec_xvec():
     _parity("XI_VEC_XVEC", embed_dim=512)
+
+
+def test_repvgg_tiny_a0():
+    _parity("REPVGG_TINY_A0", embed_dim=256)
+
+
+def test_repvgg_rsbb():
+    _parity("REPVGG_TINY_RSBB_A0", embed_dim=256)
+
+
+def test_repvgg_se_and_groups():
+    _parity("REPVGG_B1g2", embed_dim=256, use_se=True)
+
+
+def test_repvgg_deploy_fusion_consistency():
+    """Train-mode output == deploy-mode output after branch fusion, and both
+    match the reference's switch_to_deploy conversion."""
+    import jax.numpy as jnp
+    from wespeaker_tpu.models.repvgg import (REPVGG_TINY_A0,
+                                             convert_repvgg_variables)
+
+    ref_model = build_reference_model("REPVGG_TINY_A0", feat_dim=80,
+                                      embed_dim=256)
+    x = np.random.default_rng(0).normal(size=(2, 200, 80)).astype(np.float32)
+    want = reference_embedding(ref_model, x)
+
+    model = REPVGG_TINY_A0(feat_dim=80, embed_dim=256)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 80)))
+    from wespeaker_tpu.utils.torch_compat import (rules_for,
+                                                  torch_to_flax_variables)
+    variables = torch_to_flax_variables(ref_model.state_dict(), variables,
+                                        rules=rules_for("REPVGG"))
+    train_out = np.asarray(model.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(train_out, want, atol=2e-4, rtol=1e-3)
+
+    deploy_model = REPVGG_TINY_A0(feat_dim=80, embed_dim=256, deploy=True)
+    deploy_vars = convert_repvgg_variables(variables)
+    deploy_out = np.asarray(deploy_model.apply(deploy_vars, jnp.asarray(x)))
+    np.testing.assert_allclose(deploy_out, train_out, atol=2e-3, rtol=1e-3)
+
+    # cross-check against the reference's own fusion
+    from tests.torch_ref import import_reference_module
+    rmod = import_reference_module("wespeaker.models.repvgg")
+    ref_deploy = rmod.repvgg_model_convert(ref_model)
+    want_deploy = reference_embedding(ref_deploy, x)
+    np.testing.assert_allclose(deploy_out, want_deploy, atol=2e-3, rtol=1e-3)

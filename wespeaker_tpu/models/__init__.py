@@ -17,6 +17,7 @@ def _register_extra():
         campplus,
         eres2net,
         gemini_dfresnet,
+        repvgg,
         res2net,
         resnet,
         samresnet,
@@ -24,7 +25,7 @@ def _register_extra():
         xi_vector,
     )
     _MODULES = [ecapa_tdnn, resnet, tdnn, campplus, eres2net, res2net,
-                gemini_dfresnet, samresnet, xi_vector]
+                gemini_dfresnet, samresnet, xi_vector, repvgg]
 
 
 def get_speaker_model(model_name: str):

@@ -170,6 +170,9 @@ MODEL_RULES = {
         (r"\batt_conv2\b", "attention.3"),
     ],
     "XVEC": _XI_RULES,
+    "REPVGG": [
+        (r"\bstage(\d)_(\d+)\b", r"stage\1.\2"),
+    ],
     "CAMPPlus": [
         (r"\blayer(\d)_(\d+)\b", r"layer\1.\2"),
         (r"\bshortcut_conv\b", "shortcut.0"),
