@@ -1,0 +1,154 @@
+"""Diarization subsystem tests: subsegmentation, clustering, RTTM merge,
+DER, and the full pipeline on synthetic two-speaker audio."""
+
+import io
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from wespeaker_tpu.diar import rttm as R
+from wespeaker_tpu.diar.pipeline import diarize_wav, energy_vad
+from wespeaker_tpu.diar.spectral_clusterer import cluster as spectral_cluster
+from wespeaker_tpu.diar.subsegment import segment_id, subsegment
+from wespeaker_tpu.diar.umap_clusterer import PAHC, cluster as umap_cluster
+
+
+def test_subsegment_windows():
+    fbank = np.random.default_rng(0).normal(size=(300, 40)).astype(np.float32)
+    sid = segment_id("utt1", 0.0, 3.02)
+    subsegs, banks = subsegment(fbank, sid, window_fs=150, period_fs=75)
+    assert banks.shape[1:] == (150, 40)
+    assert all(s.startswith("utt1-") for s in subsegs)
+    # short segment: single repeat-padded window
+    sid2 = segment_id("utt1", 0.0, 1.0)
+    subsegs2, banks2 = subsegment(fbank[:98], sid2, 150, 75)
+    assert len(subsegs2) == 1 and banks2.shape == (1, 150, 40)
+    np.testing.assert_array_equal(banks2[0][:98], fbank[:98])
+    np.testing.assert_array_equal(banks2[0][98:], fbank[:52])
+
+
+def _blob_embeddings(n_per=40, dim=32, k=3, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(k, dim)) * 5
+    embs, labels = [], []
+    for i, c in enumerate(centers):
+        embs.append(c + rng.normal(size=(n_per, dim)))
+        labels += [i] * n_per
+    return np.concatenate(embs), np.asarray(labels)
+
+
+def _cluster_accuracy(pred, want):
+    from scipy.optimize import linear_sum_assignment
+    pred, want = np.asarray(pred), np.asarray(want)
+    k = max(pred.max(), want.max()) + 1
+    conf = np.zeros((k, k))
+    for p, w in zip(pred, want):
+        conf[p, w] += 1
+    ri, ci = linear_sum_assignment(-conf)
+    return conf[ri, ci].sum() / len(pred)
+
+
+def test_spectral_clustering_recovers_speakers():
+    embs, want = _blob_embeddings()
+    labels = spectral_cluster(embs)
+    assert _cluster_accuracy(labels, want) > 0.95
+
+
+def test_pahc_attaches_noise_and_absorbs_minors():
+    """Reference semantics: labeled-labeled merges are forbidden (cost -inf,
+    umap_clusterer.py:137-139); PAHC attaches noise points to clusters and
+    absorbs minor (<3) clusters into the closest major one."""
+    embs, want = _blob_embeddings(n_per=30, k=2, seed=1)
+    fake = np.where(np.arange(60) < 30, 0, 1)
+    noise_idx = [3, 17, 40, 55]
+    for i in noise_idx:
+        fake[i] = -1
+    labels = PAHC(merge_cutoff=0.3).fit_predict(list(fake), embs)
+    # noise points must end up in the cluster of their true speaker
+    assert _cluster_accuracy(labels, want) == 1.0
+    assert len(set(labels)) == 2
+
+
+def test_umap_cluster_fallback_runs():
+    embs, want = _blob_embeddings()
+    labels = umap_cluster(embs)  # falls back to spectral without umap lib
+    assert len(labels) == len(embs)
+
+
+def test_merge_segments_and_der():
+    labels = {
+        "u": [(0.0, 1.5, "0"), (0.75, 2.25, "0"), (2.5, 4.0, "1")],
+    }
+    merged = R.merge_segments(labels)
+    assert merged == [("u", 0.0, 2.25, "0"), ("u", 2.5, 4.0, "1")]
+
+    buf = io.StringIO()
+    R.write_rttm(merged, buf)
+    buf.seek(0)
+    text = buf.read()
+    assert "SPEAKER u 1 0.000 2.250" in text
+
+    ref = {"u": [(0.0, 2.0, "A"), (2.5, 4.0, "B")]}
+    hyp = {"u": [(0.0, 2.0, "x"), (2.5, 4.0, "y")]}
+    assert R.compute_der(ref, hyp) < 1e-6
+    hyp_bad = {"u": [(0.0, 4.0, "x")]}
+    assert R.compute_der(ref, hyp_bad, collar=0.0) > 0.1
+
+
+def test_full_diarization_pipeline():
+    """Two synthetic 'speakers' alternating; DER must be small."""
+    sr = 16000
+    rng = np.random.default_rng(0)
+    seg_sec = 4.0
+    t = np.arange(int(sr * seg_sec)) / sr
+
+    def make_spk(freqs):
+        # amplitude-modulated so that per-segment CMN doesn't flatten the
+        # (stationary) spectral signature into pure noise
+        sig = sum(np.sin(2 * np.pi * f * t) for f in freqs)
+        sig = sig * (0.55 + 0.45 * np.sin(2 * np.pi * 3.0 * t))
+        return (0.3 * sig / np.max(np.abs(sig))
+                + rng.normal(0, 0.005, len(t))).astype(np.float32)
+
+    segs = []
+    ref = {"utt": []}
+    wav_parts = []
+    cur = 0.0
+    # 8 alternating segments -> ~40 subsegments, enough for the reference's
+    # top-10-neighbor affinity pruning to form a sensible graph
+    for i in range(8):
+        spk = i % 2
+        wav_parts.append(make_spk([300, 500] if spk == 0 else [900, 1400]))
+        ref["utt"].append((cur, cur + seg_sec, f"spk{spk}"))
+        segs.append((cur, cur + seg_sec))
+        cur += seg_sec
+    wav = np.concatenate(wav_parts)
+
+    # mock embedder: per-bin temporal std survives CMN and peaks at each
+    # "speaker's" tone bins
+    def embed_fn(banks):
+        return banks.std(axis=1)
+
+    merged, sublabels = diarize_wav(
+        "utt", wav, sr, embed_fn, sad_segments=segs,
+        fbank_cfg=__import__("wespeaker_tpu.frontend",
+                             fromlist=["FbankConfig"]).FbankConfig(
+            num_mel_bins=40),
+        clusterer="spectral", num_spks=2)
+    assert merged
+    hyp = {"utt": [(b, e, lab) for (u, b, e, lab) in merged]}
+    der = R.compute_der(ref, hyp)
+    assert der < 0.15, der
+
+
+def test_energy_vad():
+    sr = 16000
+    silence = np.zeros(sr, np.float32)
+    tone = 0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr).astype(
+        np.float32)
+    wav = np.concatenate([silence, tone, silence, tone])
+    segs = energy_vad(wav, sr)
+    assert len(segs) == 2
+    assert abs(segs[0][0] - 1.0) < 0.1 and abs(segs[0][1] - 2.0) < 0.1
