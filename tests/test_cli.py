@@ -1,0 +1,70 @@
+"""CLI product-API test: train a tiny model dir, then exercise Speaker."""
+
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+import yaml  # noqa: E402
+
+from wespeaker_tpu.cli.speaker import Speaker
+from wespeaker_tpu.data.wav_io import write_wav
+from wespeaker_tpu.models import get_speaker_model
+from wespeaker_tpu.utils.checkpoint import save_checkpoint
+
+
+@pytest.fixture()
+def model_dir(tmp_path):
+    configs = {
+        "model": "ECAPA_TDNN",
+        "model_args": {"feat_dim": 40, "embed_dim": 64, "channels": 64},
+    }
+    model = get_speaker_model("ECAPA_TDNN")(**configs["model_args"])
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 40)))
+    d = tmp_path / "model"
+    d.mkdir()
+    with open(d / "config.yaml", "w") as f:
+        yaml.safe_dump(configs, f)
+    save_checkpoint(str(d / "avg_model.ckpt"),
+                    {"params": variables["params"],
+                     "batch_stats": variables.get("batch_stats", {})})
+    return str(d)
+
+
+def _tone(path, freq, seconds=2.0, sr=16000):
+    t = np.arange(int(sr * seconds)) / sr
+    sig = 0.3 * np.sin(2 * np.pi * freq * t) * (
+        0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))
+    write_wav(path, sig.astype(np.float32), sr)
+    return str(path)
+
+
+def test_speaker_api(model_dir, tmp_path):
+    spk = Speaker(model_dir)
+    a = _tone(tmp_path / "a.wav", 300)
+    b = _tone(tmp_path / "b.wav", 310)
+    c = _tone(tmp_path / "c.wav", 1200)
+
+    emb = spk.extract_embedding(a)
+    assert emb.shape == (64,)
+
+    sim_ab = spk.compute_similarity(a, b)
+    sim_ac = spk.compute_similarity(a, c)
+    assert 0.0 <= sim_ac <= 1.0 and 0.0 <= sim_ab <= 1.0
+
+    spk.register("alice", a)
+    spk.register("carol", c)
+    result = spk.recognize(b)
+    assert result["name"] in ("alice", "carol")
+    assert result["confidence"] > 0
+
+    scp = tmp_path / "wav.scp"
+    scp.write_text(f"utt_a {a}\nutt_c {c}\n")
+    names, embs = spk.extract_embedding_list(str(scp))
+    assert names == ["utt_a", "utt_c"]
+    assert embs[0].shape == (64,)
+
+    merged = spk.diarize(a, utt="rec1")
+    assert isinstance(merged, list)
