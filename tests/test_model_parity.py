@@ -145,3 +145,40 @@ def test_repvgg_deploy_fusion_consistency():
     ref_deploy = rmod.repvgg_model_convert(ref_model)
     want_deploy = reference_embedding(ref_deploy, x)
     np.testing.assert_allclose(deploy_out, want_deploy, atol=2e-3, rtol=1e-3)
+
+
+def test_whisper_pmfa_head():
+    _parity("whisper_PMFA_large_v2", embed_dim=192, F=64, T=100)
+
+
+def test_whisper_encoder_parity():
+    """Tiny AudioEncoder vs the reference's vendored implementation."""
+    import jax.numpy as jnp
+    from tests.torch_ref import import_reference_module
+    from wespeaker_tpu.frontend.whisper_encoder import AudioEncoder
+    from wespeaker_tpu.utils.torch_compat import (rules_for,
+                                                  torch_to_flax_variables)
+    import torch
+
+    rmod = import_reference_module("wespeaker.frontend.whisper_encoder")
+    torch.manual_seed(0)
+    ref = rmod.AudioEncoder(n_mels=24, n_ctx=50, n_state=32, n_head=4,
+                            n_layer=3, layer_st=1, layer_ed=2).eval()
+    gen = torch.Generator().manual_seed(1)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.copy_(torch.randn(p.shape, generator=gen) * 0.05)
+
+    x = np.random.default_rng(0).normal(size=(2, 100, 24)).astype(np.float32)
+    with torch.no_grad():
+        # the reference forward permutes (B, T, n_mels) itself (:189)
+        want = ref(torch.from_numpy(x)).numpy()
+
+    model = AudioEncoder(n_mels=24, n_ctx=50, n_state=32, n_head=4,
+                         n_layer=3, layer_st=1, layer_ed=2)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 100, 24)))
+    variables = torch_to_flax_variables(ref.state_dict(), variables,
+                                        rules=rules_for("WhisperEncoder"))
+    got = np.asarray(model.apply(variables, jnp.asarray(x)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)

@@ -22,10 +22,12 @@ def _register_extra():
         resnet,
         samresnet,
         tdnn,
+        whisper_PMFA,
         xi_vector,
     )
     _MODULES = [ecapa_tdnn, resnet, tdnn, campplus, eres2net, res2net,
-                gemini_dfresnet, samresnet, xi_vector, repvgg]
+                gemini_dfresnet, samresnet, xi_vector, repvgg,
+                whisper_PMFA]
 
 
 def get_speaker_model(model_name: str):

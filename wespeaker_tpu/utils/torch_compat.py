@@ -31,7 +31,7 @@ LEAF_TO_TORCH = {
     "var": "running_var",
 }
 
-IGNORED_TORCH_SUFFIXES = ("num_batches_tracked",)
+IGNORED_TORCH_SUFFIXES = ("num_batches_tracked", "positional_embedding")
 
 
 def _to_torch_key(path: Tuple[str, ...], rules: Sequence[Tuple[str, str]]):
@@ -75,7 +75,9 @@ def torch_to_flax_variables(
             v = v.detach().cpu().numpy()
         sd[k] = np.asarray(v)
 
-    flat = flatten_dict(unfreeze(flax_variables))
+    from flax.linen import meta as nn_meta
+
+    flat = flatten_dict(unfreeze(nn_meta.unbox(flax_variables)))
     out = {}
     used = set()
     missing = []
@@ -170,6 +172,13 @@ MODEL_RULES = {
         (r"\batt_conv2\b", "attention.3"),
     ],
     "XVEC": _XI_RULES,
+    "whisper_PMFA": [
+        (r"\bbn_norm\b", "bn.norm"),
+    ],
+    "WhisperEncoder": [
+        (r"\bblocks_(\d+)\b", r"blocks.\1"),
+        (r"\bmlp_(\d+)\b", r"mlp.\1"),
+    ],
     "REPVGG": [
         (r"\bstage(\d)_(\d+)\b", r"stage\1.\2"),
     ],
