@@ -182,3 +182,17 @@ def test_whisper_encoder_parity():
     got = np.asarray(model.apply(variables, jnp.asarray(x)))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_redimnet_b0():
+    # basic_resnet blocks + conv_exp != 1 squeeze-back path
+    _parity("ReDimNetB0", embed_dim=192, F=60, T=120)
+
+
+def test_redimnet_b1():
+    # convnext_like blocks, grouped convs
+    _parity("ReDimNetB1", embed_dim=192, F=72, T=120)
+
+
+def test_redimnet_b3_fwse():
+    _parity("ReDimNetB3", embed_dim=192, F=72, T=96, tol=5e-4)

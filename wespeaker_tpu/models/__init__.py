@@ -17,6 +17,7 @@ def _register_extra():
         campplus,
         eres2net,
         gemini_dfresnet,
+        redimnet,
         repvgg,
         res2net,
         resnet,
@@ -27,7 +28,7 @@ def _register_extra():
     )
     _MODULES = [ecapa_tdnn, resnet, tdnn, campplus, eres2net, res2net,
                 gemini_dfresnet, samresnet, xi_vector, repvgg,
-                whisper_PMFA]
+                whisper_PMFA, redimnet]
 
 
 def get_speaker_model(model_name: str):

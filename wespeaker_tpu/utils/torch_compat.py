@@ -31,16 +31,22 @@ LEAF_TO_TORCH = {
     "var": "running_var",
 }
 
-IGNORED_TORCH_SUFFIXES = ("num_batches_tracked", "positional_embedding")
+IGNORED_TORCH_SUFFIXES = (
+    "num_batches_tracked",
+    "positional_embedding",
+    # ReDimNet's frozen all-ones stage-0 weight placeholder (redimnet.py:661)
+    "inputs_weights.0",
+)
 
 
 def _to_torch_key(path: Tuple[str, ...], rules: Sequence[Tuple[str, str]]):
     *mods, leaf = path
     prefix = ".".join(mods)
-    for pat, repl in rules:
-        prefix = re.sub(pat, repl, prefix)
     suffix = LEAF_TO_TORCH.get(leaf, leaf)
-    return f"{prefix}.{suffix}" if prefix else suffix
+    key = f"{prefix}.{suffix}" if prefix else suffix
+    for pat, repl in rules:
+        key = re.sub(pat, repl, key)
+    return key
 
 
 def _convert_leaf(torch_arr: np.ndarray, leaf: str, flax_shape):
@@ -172,6 +178,22 @@ MODEL_RULES = {
         (r"\batt_conv2\b", "attention.3"),
     ],
     "XVEC": _XI_RULES,
+    "ReDimNet": [
+        (r"\binputs_weights_(\d+)\b", r"inputs_weights.\1"),
+        (r"\bstem_(\d+)\b", r"stem.\1"),
+        (r"\bmfa_(\d+)\b", r"mfa.\1"),
+        (r"\bstage(\d+)_(\d+)_conv_block\b", r"stage\1.\2.conv_block"),
+        (r"\bstage(\d+)_(\d+)_(\d+)\b", r"stage\1.\2.\3"),
+        (r"\bstage(\d+)_(\d+)\b", r"stage\1.\2"),
+        (r"\bdwconvs_(\d+)\b", r"dwconvs.\1"),
+        (r"\bred_dim_conv_(\d+)\b", r"red_dim_conv.\1"),
+        (r"\btcm_(\d+)\b", r"tcm.\1"),
+        (r"\bfeed_forward_intermediate_dense\b",
+         "feed_forward.intermediate_dense"),
+        (r"\bfeed_forward_output_dense\b", "feed_forward.output_dense"),
+        (r"\bdownsample_conv\b", "downsample.0"),
+        (r"\bdownsample_bn\b", "downsample.1"),
+    ],
     "whisper_PMFA": [
         (r"\bbn_norm\b", "bn.norm"),
     ],
