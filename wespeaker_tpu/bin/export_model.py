@@ -1,0 +1,74 @@
+"""Model export for deployment (the export_{onnx,jit,mnn} equivalent).
+
+TPU-native interop format is StableHLO via jax.export: a serialized,
+self-contained artifact with signature feats (B, T, F) -> embs (B, D) and
+symbolic (dynamic) batch/time dims, runnable from any PJRT plugin or
+re-imported into JAX (`load_exported`). Mirrors the reference contract
+(wespeaker/bin/export_onnx.py:92-99: names feats->embs, dynamic B/T, and
+optional mean-subtraction baked into the graph).
+"""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wespeaker_tpu.bin.extract import load_model_for_eval
+from wespeaker_tpu.utils.config import parse_config_or_kwargs
+
+
+def export_stablehlo(config, checkpoint_path, out_path, mean_vec_path=None,
+                     overrides=None, static_shape=None, **kwargs):
+    """Serialize the eval forward (feats -> embedding, optional mean
+    subtraction) as a StableHLO artifact with dynamic (B, T)."""
+    from jax import export as jexport
+
+    configs = parse_config_or_kwargs(config, overrides, **kwargs)
+    model, variables = load_model_for_eval(configs, checkpoint_path)
+    feat_dim = configs["model_args"].get("feat_dim", 80)
+    mean_vec = (jnp.asarray(np.load(mean_vec_path))
+                if mean_vec_path else None)
+
+    def forward(feats):
+        emb = model.apply(variables, feats, train=False)
+        if mean_vec is not None:
+            emb = emb - mean_vec
+        return emb
+
+    if static_shape is not None:
+        args_spec = jax.ShapeDtypeStruct(tuple(static_shape) + (feat_dim,),
+                                         jnp.float32)
+    else:
+        b, t = jexport.symbolic_shape("b, t")
+        args_spec = jax.ShapeDtypeStruct((b, t, feat_dim), jnp.float32)
+    exported = jexport.export(jax.jit(forward))(args_spec)
+    blob = exported.serialize()
+    with open(out_path, "wb") as f:
+        f.write(blob)
+    return out_path
+
+
+def load_exported(path: str):
+    """Re-import a serialized artifact as a callable."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+    return exported.call
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--output_model", required=True)
+    ap.add_argument("--mean_vec", default=None)
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args()
+    export_stablehlo(args.config, args.checkpoint, args.output_model,
+                     args.mean_vec, args.overrides)
+
+
+if __name__ == "__main__":
+    main()
