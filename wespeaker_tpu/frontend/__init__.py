@@ -14,3 +14,18 @@ from wespeaker_tpu.frontend.fbank import (  # noqa: F401
     make_mel_banks,
     make_window,
 )
+from wespeaker_tpu.frontend.tfmel import TFMelConfig, tfmel  # noqa: F401
+
+
+def get_frontend(name: str):
+    """DSP frontends by name; neural frontends (whisper_encoder, ...) are
+    flax modules imported from their own submodules."""
+    if name == "fbank":
+        return compute_fbank
+    if name == "tfmel":
+        return tfmel
+    if name == "whisper_encoder":
+        from wespeaker_tpu.frontend.whisper_encoder import (
+            WhisperEncoderFrontend)
+        return WhisperEncoderFrontend
+    raise KeyError(f"unknown frontend {name}")
