@@ -196,3 +196,37 @@ def test_redimnet_b1():
 
 def test_redimnet_b3_fwse():
     _parity("ReDimNetB3", embed_dim=192, F=72, T=96, tol=5e-4)
+
+
+def test_w2vbert_adapter_mfa():
+    import torch
+    import jax.numpy as jnp
+    from tests.torch_ref import import_reference_module
+    from wespeaker_tpu.models.w2vbert_adapter_mfa import W2VBert_Adapter_MFA
+    from wespeaker_tpu.utils.torch_compat import (rules_for,
+                                                  torch_to_flax_variables)
+
+    rmod = import_reference_module("wespeaker.models.w2vbert_adapter_mfa")
+    torch.manual_seed(0)
+    ref = rmod.W2VBert_Adapter_MFA(feat_dim=48, embed_dim=32,
+                                   n_mfa_layers=3, adapter_dim=16,
+                                   num_frontend_hidden_layers=4).eval()
+    gen = torch.Generator().manual_seed(1)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.copy_(torch.randn(p.shape, generator=gen) * 0.05)
+
+    rng = np.random.default_rng(0)
+    states = [rng.normal(size=(2, 50, 48)).astype(np.float32)
+              for _ in range(5)]
+    with torch.no_grad():
+        want = ref(tuple(torch.from_numpy(s) for s in states))[-1].numpy()
+
+    model = W2VBert_Adapter_MFA(feat_dim=48, embed_dim=32, n_mfa_layers=3,
+                                adapter_dim=16, num_frontend_hidden_layers=4)
+    jstates = [jnp.asarray(s) for s in states]
+    variables = model.init(jax.random.PRNGKey(0), jstates)
+    variables = torch_to_flax_variables(
+        ref.state_dict(), variables, rules=rules_for("W2VBert_Adapter_MFA"))
+    got = np.asarray(model.apply(variables, jstates))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)

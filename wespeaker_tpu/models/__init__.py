@@ -23,12 +23,13 @@ def _register_extra():
         resnet,
         samresnet,
         tdnn,
+        w2vbert_adapter_mfa,
         whisper_PMFA,
         xi_vector,
     )
     _MODULES = [ecapa_tdnn, resnet, tdnn, campplus, eres2net, res2net,
                 gemini_dfresnet, samresnet, xi_vector, repvgg,
-                whisper_PMFA, redimnet]
+                whisper_PMFA, redimnet, w2vbert_adapter_mfa]
 
 
 def get_speaker_model(model_name: str):

@@ -194,6 +194,12 @@ MODEL_RULES = {
         (r"\bdownsample_conv\b", "downsample.0"),
         (r"\bdownsample_bn\b", "downsample.1"),
     ],
+    "W2VBert_Adapter_MFA": [
+        (r"\badapter_layers_(\d+)\b", r"adapter_layers.\1"),
+        (r"\batt_conv1\b", "attention.0"),
+        (r"\batt_bn\b", "attention.2"),
+        (r"\batt_conv2\b", "attention.3"),
+    ],
     "whisper_PMFA": [
         (r"\bbn_norm\b", "bn.norm"),
     ],
