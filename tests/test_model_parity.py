@@ -230,3 +230,54 @@ def test_w2vbert_adapter_mfa():
         ref.state_dict(), variables, rules=rules_for("W2VBert_Adapter_MFA"))
     got = np.asarray(model.apply(variables, jstates))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def _parity_redimnet2(name, T=96, F=72):
+    """ReDimNet2Wrap takes (B, F, T) spectrograms in torch; ours takes
+    (B, T, F)."""
+    import torch
+    import jax.numpy as jnp
+    from tests.torch_ref import import_reference_module
+    from wespeaker_tpu.models import get_speaker_model
+    from wespeaker_tpu.utils.torch_compat import (rules_for,
+                                                  torch_to_flax_variables)
+
+    rmod = import_reference_module("wespeaker.models.redimnet2")
+    torch.manual_seed(0)
+    ref = getattr(rmod, name)(feat_dim=F, embed_dim=96).eval()
+    gen = torch.Generator().manual_seed(1)
+    with torch.no_grad():
+        for p in ref.parameters():
+            if p.requires_grad:
+                p.copy_(torch.randn(p.shape, generator=gen) * 0.05)
+        for m in ref.modules():
+            if hasattr(m, "running_mean") and m.running_mean is not None:
+                m.running_mean.copy_(
+                    torch.randn(m.running_mean.shape, generator=gen) * 0.1)
+                m.running_var.copy_(
+                    1.0 + 0.5 * torch.rand(m.running_var.shape,
+                                           generator=gen))
+
+    x = np.random.default_rng(0).normal(size=(2, T, F)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x.transpose(0, 2, 1))).numpy()
+
+    model = get_speaker_model(name)(feat_dim=F, embed_dim=96)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, F)))
+    variables = torch_to_flax_variables(ref.state_dict(), variables,
+                                        rules=rules_for("ReDimNet2"))
+    got = np.asarray(model.apply(variables, jnp.asarray(x)))
+    assert got.shape == want.shape
+    cos = np.sum(got * want, -1) / (np.linalg.norm(got, axis=-1)
+                                    * np.linalg.norm(want, axis=-1))
+    np.testing.assert_allclose(cos, 1.0, atol=1e-6)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_redimnet2_b0():
+    _parity_redimnet2("ReDimNet2B0")
+
+
+def test_redimnet2_b6():
+    # 2d output head, fractional conv_exp, gcd-grouped tconvs
+    _parity_redimnet2("ReDimNet2B6")

@@ -18,6 +18,7 @@ def _register_extra():
         eres2net,
         gemini_dfresnet,
         redimnet,
+        redimnet2,
         repvgg,
         res2net,
         resnet,
@@ -29,7 +30,7 @@ def _register_extra():
     )
     _MODULES = [ecapa_tdnn, resnet, tdnn, campplus, eres2net, res2net,
                 gemini_dfresnet, samresnet, xi_vector, repvgg,
-                whisper_PMFA, redimnet, w2vbert_adapter_mfa]
+                whisper_PMFA, redimnet2, redimnet, w2vbert_adapter_mfa]
 
 
 def get_speaker_model(model_name: str):

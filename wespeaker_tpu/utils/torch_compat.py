@@ -194,6 +194,22 @@ MODEL_RULES = {
         (r"\bdownsample_conv\b", "downsample.0"),
         (r"\bdownsample_bn\b", "downsample.1"),
     ],
+    "ReDimNet2": [
+        (r"\bstage(\d+)_0_w\b", r"stage\1.0.w"),
+        (r"\bfin_wght1d_w\b", "fin_wght1d.w"),
+        (r"\bstem_(\d+)\b", r"stem.\1"),
+        (r"\bstage(\d+)_(\d+)_conv_block\b", r"stage\1.\2.conv_block"),
+        (r"\bstage(\d+)_(\d+)_(\d+)\b", r"stage\1.\2.\3"),
+        (r"\bstage(\d+)_(\d+)\b", r"stage\1.\2"),
+        (r"\bdwconvs_(\d+)\b", r"dwconvs.\1"),
+        (r"\bred_dim_conv_(\d+)\b", r"red_dim_conv.\1"),
+        (r"\btcm_(\d+)\b", r"tcm.\1"),
+        (r"\bfeed_forward_intermediate_dense\b",
+         "feed_forward.intermediate_dense"),
+        (r"\bfeed_forward_output_dense\b", "feed_forward.output_dense"),
+        (r"\bdownsample_conv\b", "downsample.0"),
+        (r"\bdownsample_bn\b", "downsample.1"),
+    ],
     "W2VBert_Adapter_MFA": [
         (r"\badapter_layers_(\d+)\b", r"adapter_layers.\1"),
         (r"\batt_conv1\b", "attention.0"),
@@ -221,7 +237,9 @@ MODEL_RULES = {
 
 
 def rules_for(model_name: str) -> Sequence[Tuple[str, str]]:
+    best = ()
+    best_len = -1
     for prefix, rules in MODEL_RULES.items():
-        if model_name.startswith(prefix):
-            return rules
-    return ()
+        if model_name.startswith(prefix) and len(prefix) > best_len:
+            best, best_len = rules, len(prefix)
+    return best
