@@ -1,0 +1,59 @@
+"""Smoke test: DINO trainer CLI on the synthetic corpus."""
+
+import json
+
+import numpy as np
+import pytest
+import yaml
+
+jax = pytest.importorskip("jax")
+
+from tests.test_recipe_e2e import _make_corpus
+from wespeaker_tpu.bin.train_dino import train_dino
+
+
+@pytest.mark.slow
+def test_train_dino_runs(tmp_path):
+    entries = _make_corpus(tmp_path, n_spk=3, n_utt=3, seconds=2.5)
+    raw_list = tmp_path / "raw.list"
+    with open(raw_list, "w") as f:
+        for key, spk, path in entries:
+            f.write(json.dumps({"key": key, "spk": spk, "wav": path}) + "\n")
+    utt2spk = tmp_path / "utt2spk"
+    with open(utt2spk, "w") as f:
+        for key, spk, _ in entries:
+            f.write(f"{key} {spk}\n")
+
+    config = {
+        "exp_dir": str(tmp_path / "exp"),
+        "data_type": "raw",
+        "train_data": str(raw_list),
+        "utt2spk": str(utt2spk),
+        "num_epochs": 1,
+        "log_batch_interval": 1,
+        "model": "ECAPA_TDNN",
+        "model_args": {"feat_dim": 40, "embed_dim": 48, "channels": 32},
+        "dino_args": {
+            "head_out_dim": 128, "head_hidden_dim": 64,
+            "bottleneck_dim": 32, "global_chunk_num": 2,
+            "local_chunk_num": 2, "global_chunk_sec": 1.0,
+            "local_chunk_sec": 0.5, "warmup_epochs": 0,
+            "freeze_last_layer_epochs": 0,
+        },
+        "dataset_args": {
+            "batch_size": 1,
+            "shuffle": True,
+            "shuffle_args": {"shuffle_size": 4},
+            "aug_prob": 0.0,
+            "fbank_args": {"num_mel_bins": 40, "dither": 0.0},
+            "filter_args": {"min_num_frames": 50, "max_num_frames": 400},
+        },
+        "seed": 3,
+    }
+    cfg = tmp_path / "dino.yaml"
+    with open(cfg, "w") as f:
+        yaml.safe_dump(config, f)
+    state = train_dino(str(cfg))
+    assert int(state.step) >= 1
+    import os
+    assert os.path.exists(tmp_path / "exp" / "models" / "model_0.ckpt")

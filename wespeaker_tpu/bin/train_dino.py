@@ -1,0 +1,150 @@
+"""DINO SSL trainer CLI.
+
+Behavioral spec: wespeaker/ssl/bin/train_dino.py:43-255 — multi-crop
+dataset, student/teacher with EMA, cosine lr/wd/momentum schedules, teacher
+temperature warmup, last-layer freeze. TPU-native: one jitted step over the
+data mesh; fbank computed on device per crop.
+"""
+
+import argparse
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from wespeaker_tpu.data.dataset import Prefetcher, SpeakerDataset
+from wespeaker_tpu.data.pipeline import spk2id_from_utt2spk
+from wespeaker_tpu.frontend import FbankConfig, apply_cmvn, compute_fbank
+from wespeaker_tpu.models import get_speaker_model
+from wespeaker_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+from wespeaker_tpu.ssl import dataset as ssl_data
+from wespeaker_tpu.ssl import dino as D
+from wespeaker_tpu.utils import checkpoint as ckpt
+from wespeaker_tpu.utils.config import parse_config_or_kwargs
+
+
+def train_dino(config: str, overrides=None, **kwargs):
+    configs = parse_config_or_kwargs(config, overrides, **kwargs)
+    exp_dir = configs["exp_dir"]
+    model_dir = os.path.join(exp_dir, "models")
+    os.makedirs(model_dir, exist_ok=True)
+    logging.basicConfig(level=logging.INFO)
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    dino_args = configs.get("dino_args", {})
+    n_global = dino_args.get("global_chunk_num", 2)
+    n_local = dino_args.get("local_chunk_num", 4)
+    feat_dim = configs["model_args"].get("feat_dim", 80)
+    embed_dim = configs["model_args"]["embed_dim"]
+
+    backbone = get_speaker_model(configs["model"])(**configs["model_args"])
+    head = D.DINOHead(out_dim=dino_args.get("head_out_dim", 65536),
+                      hidden_dim=dino_args.get("head_hidden_dim", 2048),
+                      bottleneck_dim=dino_args.get("bottleneck_dim", 256),
+                      use_bn=dino_args.get("head_use_bn", False))
+
+    batch = configs["dataset_args"].get("batch_size", 32) * n_dev
+    num_epochs = configs.get("num_epochs", 10)
+    with open(configs["train_data"]) as f:
+        num_samples = sum(1 for _ in f)
+    epoch_iter = max(num_samples // batch, 1)
+
+    lr_fn = D.cosine_scheduler(
+        dino_args.get("base_lr", 0.2) * batch / 256,
+        dino_args.get("final_lr", 1e-5), num_epochs, epoch_iter,
+        warmup_epochs=dino_args.get("warmup_epochs", 2))
+    mom_fn = D.cosine_scheduler(dino_args.get("momentum_teacher", 0.996),
+                                1.0, num_epochs, epoch_iter)
+    temp_fn = D.teacher_temp_schedule(
+        dino_args.get("warmup_teacher_temp", 0.04),
+        dino_args.get("teacher_temp", 0.07), num_epochs, epoch_iter)
+
+    tx = optax.inject_hyperparams(optax.sgd)(learning_rate=0.0, momentum=0.9)
+    cfg = D.DINOConfig(
+        out_dim=head.out_dim, n_global=n_global, n_local=n_local,
+        freeze_last_layer_iters=dino_args.get("freeze_last_layer_epochs", 1)
+        * epoch_iter,
+        clip_grad=dino_args.get("clip_grad", 3.0))
+    apply_fn = D.make_apply_fn(backbone, head)
+    step_fn = D.make_dino_train_step(apply_fn, tx, lr_fn, mom_fn, temp_fn,
+                                     cfg)
+    state = D.init_dino_state(backbone, head, tx,
+                              jax.random.PRNGKey(configs.get("seed", 42)),
+                              feat_dim=feat_dim, embed_dim=embed_dim)
+
+    fbank_cfg = FbankConfig(num_mel_bins=feat_dim, dither=0.0)
+    featurize = jax.jit(lambda w: apply_cmvn(
+        compute_fbank(w * (1 << 15), fbank_cfg)))
+
+    spk2id = spk2id_from_utt2spk(configs["utt2spk"])
+    ds_args = dict(configs["dataset_args"])
+    ds_args["speed_perturb"] = False
+    dataset = SpeakerDataset(configs["data_type"], configs["train_data"],
+                             ds_args, spk2id,
+                             noise_store_prefix=configs.get("noise_data"),
+                             reverb_store_prefix=configs.get("reverb_data"),
+                             seed=configs.get("seed", 42))
+
+    sr = ds_args.get("resample_rate", 16000)
+    g_len = int(dino_args.get("global_chunk_sec", 2.0) * sr)
+    l_len = int(dino_args.get("local_chunk_sec", 1.0) * sr)
+
+    def crops():
+        rng = np.random.default_rng(configs.get("seed", 42))
+        epoch = 0
+        while True:
+            data = dataset._epoch_iter(epoch)
+            data = ssl_data.multi_crop(data, g_len, l_len, n_global, n_local,
+                                       rng=rng)
+            yield from ssl_data.dino_batch(data, batch)
+            epoch += 1
+
+    rep = replicated(mesh)
+    state = jax.device_put(state, rep)
+    step_jit = jax.jit(step_fn, out_shardings=(rep, rep))
+    log_interval = configs.get("log_batch_interval", 50)
+
+    it = 0
+    batches = iter(Prefetcher(crops()))
+    for epoch in range(num_epochs):
+        t0 = time.time()
+        for _ in range(epoch_iter):
+            b = next(batches)
+            gfeat = featurize(jnp.asarray(b["global_wav"]))
+            lfeat = featurize(jnp.asarray(b["local_wav"]))
+            device_batch = shard_batch(mesh, {"global_feat": gfeat,
+                                              "local_feat": lfeat})
+            state, m = step_jit(state, device_batch)
+            if it % log_interval == 0:
+                logging.info(
+                    f"epoch {epoch} it {it} loss {float(m['loss']):.4f} "
+                    f"lr {float(m['lr']):.5f} m {float(m['momentum']):.4f} "
+                    f"temp {float(m['teacher_temp']):.3f}")
+            it += 1
+        logging.info(f"epoch {epoch} done in {time.time() - t0:.1f}s")
+        variables = jax.device_get({
+            "params": state.teacher["backbone"],
+            "batch_stats": state.teacher_stats["backbone"],
+            "student_params": state.student,
+            "student_stats": state.student_stats,
+        })
+        ckpt.save_checkpoint(os.path.join(model_dir, f"model_{epoch}.ckpt"),
+                             variables)
+    return state
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args()
+    train_dino(args.config, args.overrides)
+
+
+if __name__ == "__main__":
+    main()
