@@ -57,3 +57,45 @@ def test_train_dino_runs(tmp_path):
     assert int(state.step) >= 1
     import os
     assert os.path.exists(tmp_path / "exp" / "models" / "model_0.ckpt")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("method", ["moco", "simclr"])
+def test_train_contrastive_runs(tmp_path, method):
+    from wespeaker_tpu.bin.train_contrastive import train_contrastive
+
+    entries = _make_corpus(tmp_path, n_spk=2, n_utt=4, seconds=2.2)
+    raw_list = tmp_path / "raw.list"
+    with open(raw_list, "w") as f:
+        for key, spk, path in entries:
+            f.write(json.dumps({"key": key, "spk": spk, "wav": path}) + "\n")
+    utt2spk = tmp_path / "utt2spk"
+    with open(utt2spk, "w") as f:
+        for key, spk, _ in entries:
+            f.write(f"{key} {spk}\n")
+    config = {
+        "exp_dir": str(tmp_path / f"exp_{method}"),
+        "ssl_method": method,
+        "data_type": "raw",
+        "train_data": str(raw_list),
+        "utt2spk": str(utt2spk),
+        "num_epochs": 1,
+        "log_batch_interval": 1,
+        "model": "ECAPA_TDNN",
+        "model_args": {"feat_dim": 40, "embed_dim": 32, "channels": 32},
+        "ssl_args": {"queue_size": 16, "chunk_sec": 1.0},
+        "dataset_args": {
+            "batch_size": 1,
+            "shuffle": True,
+            "shuffle_args": {"shuffle_size": 4},
+            "aug_prob": 0.0,
+            "fbank_args": {"num_mel_bins": 40, "dither": 0.0},
+            "filter_args": {"min_num_frames": 50, "max_num_frames": 400},
+        },
+        "seed": 5,
+    }
+    cfg = tmp_path / f"{method}.yaml"
+    with open(cfg, "w") as f:
+        yaml.safe_dump(config, f)
+    state = train_contrastive(str(cfg))
+    assert int(state.step) >= 1
