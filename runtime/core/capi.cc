@@ -6,6 +6,7 @@
 #include <vector>
 
 #include "frontend/fbank.h"
+#include "frontend/feature_pipeline.h"
 #include "frontend/wav.h"
 #include "speaker/speaker_engine.h"
 #include "speaker/speaker_model.h"
@@ -13,6 +14,8 @@
 using wespeaker_tpu::CallbackSpeakerModel;
 using wespeaker_tpu::EmbedCallback;
 using wespeaker_tpu::Fbank;
+using wespeaker_tpu::FeaturePipeline;
+using wespeaker_tpu::FeaturePipelineConfig;
 using wespeaker_tpu::MeanMelSpeakerModel;
 using wespeaker_tpu::SpeakerEngine;
 using wespeaker_tpu::SpeakerModel;
@@ -74,6 +77,36 @@ float wtpu_engine_cosine(void* engine, const float* a, const float* b,
   auto* e = static_cast<SpeakerEngine*>(engine);
   std::vector<float> va(a, a + dim), vb(b, b + dim);
   return e->CosineSimilarity(va, vb);
+}
+
+void* wtpu_pipeline_new(int num_bins, int sample_rate) {
+  FeaturePipelineConfig cfg;
+  cfg.num_bins = num_bins;
+  cfg.sample_rate = sample_rate;
+  return new FeaturePipeline(cfg);
+}
+
+void wtpu_pipeline_free(void* p) { delete static_cast<FeaturePipeline*>(p); }
+
+void wtpu_pipeline_accept(void* p, const float* wav, int n) {
+  static_cast<FeaturePipeline*>(p)->AcceptWaveform(
+      std::vector<float>(wav, wav + n));
+}
+
+void wtpu_pipeline_finish(void* p) {
+  static_cast<FeaturePipeline*>(p)->set_input_finished();
+}
+
+// Returns number of frames written (<= n); out must hold n*num_bins floats.
+int wtpu_pipeline_read(void* p, int n, float* out, int num_bins) {
+  std::vector<std::vector<float>> frames;
+  auto* fp = static_cast<FeaturePipeline*>(p);
+  bool full = fp->Read(n, &frames);
+  (void)full;
+  for (size_t t = 0; t < frames.size(); ++t)
+    std::memcpy(out + t * num_bins, frames[t].data(),
+                num_bins * sizeof(float));
+  return static_cast<int>(frames.size());
 }
 
 int wtpu_read_wav(const char* path, float* out, int max_samples,

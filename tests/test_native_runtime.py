@@ -104,3 +104,20 @@ def test_extract_emb_binary(lib, tmp_path):
     got = out.read_text().strip().splitlines()
     assert len(got) == 3
     assert len(got[0].split()) == 41  # key + 40 dims
+
+
+def test_streaming_feature_pipeline(lib):
+    """Chunked streaming must equal one-shot fbank."""
+    rng = np.random.default_rng(4)
+    wav = (rng.uniform(-0.5, 0.5, 16000) * (1 << 15)).astype(np.float32)
+    one_shot = lib.NativeFbank(num_bins=40)(wav)
+
+    pipe = lib.NativePipeline(num_bins=40)
+    for i in range(0, len(wav), 1000):  # odd chunking vs frame shift
+        pipe.accept(wav[i:i + 1000])
+    pipe.finish()
+    frames = pipe.read(one_shot.shape[0])
+    assert frames.shape == one_shot.shape
+    np.testing.assert_allclose(frames, one_shot, atol=1e-4)
+    # drained + finished -> short read
+    assert pipe.read(5).shape[0] == 0

@@ -53,7 +53,9 @@ def iter_wavs_from_list(data_list):
 
 
 def extract(config, checkpoint_path, data_list, out_prefix, batch_size=8,
-            overrides=None, **kwargs):
+            overrides=None, num_splits=1, split_index=0, **kwargs):
+    """num_splits/split_index stripe the data list across independent
+    processes/hosts (tools/extract_embedding.sh:40-75 equivalent)."""
     configs = parse_config_or_kwargs(config, overrides, **kwargs)
     model, variables = load_model_for_eval(configs, checkpoint_path)
 
@@ -66,9 +68,13 @@ def extract(config, checkpoint_path, data_list, out_prefix, batch_size=8,
         dither=0.0)
     embed_fn = jax.jit(make_eval_embed_fn(model, fbank_cfg))
 
+    def wavs():
+        for i, item in enumerate(iter_wavs_from_list(data_list)):
+            if i % num_splits == split_index:
+                yield item
+
     def items():
-        for batch in eval_batches(iter_wavs_from_list(data_list),
-                                  batch_size=batch_size):
+        for batch in eval_batches(wavs(), batch_size=batch_size):
             emb = np.asarray(embed_fn(variables, {
                 "wav": jnp.asarray(batch["wav"]),
                 "mask": jnp.asarray(batch["mask"])}))
@@ -87,10 +93,13 @@ def main():
     ap.add_argument("--data_list", required=True)
     ap.add_argument("--out_prefix", required=True)
     ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--num_splits", type=int, default=1)
+    ap.add_argument("--split_index", type=int, default=0)
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
     extract(args.config, args.checkpoint, args.data_list, args.out_prefix,
-            args.batch_size, args.overrides)
+            args.batch_size, args.overrides, args.num_splits,
+            args.split_index)
 
 
 if __name__ == "__main__":

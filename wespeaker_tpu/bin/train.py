@@ -25,7 +25,8 @@ from wespeaker_tpu.data.pipeline import spk2id_from_utt2spk
 from wespeaker_tpu.frontend import FbankConfig
 from wespeaker_tpu.models import get_speaker_model
 from wespeaker_tpu.models.projections import get_projection
-from wespeaker_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+from wespeaker_tpu.parallel.mesh import (init_distributed, make_mesh,
+                                         replicated, shard_batch)
 from wespeaker_tpu.train import (AugConfig, init_train_state, make_train_step)
 from wespeaker_tpu.train.optim import lr_scale_ratio, make_optimizer
 from wespeaker_tpu.utils import checkpoint as ckpt
@@ -66,6 +67,11 @@ def train(config: str, overrides=None, **kwargs):
     os.makedirs(model_dir, exist_ok=True)
     logger = setup_logger(exp_dir)
 
+    dist_args = configs.get("distributed_args", {})
+    if dist_args:
+        init_distributed(dist_args.get("coordinator"),
+                         dist_args.get("num_processes"),
+                         dist_args.get("process_id"))
     rank = jax.process_index()
     world = jax.process_count()
     mesh = make_mesh()

@@ -75,10 +75,16 @@ def parse_raw(lines: Iterable[str]) -> Iterator[dict]:
 
 def parse_shard(tar_paths: Iterable[str]) -> Iterator[dict]:
     """Tar shards with <key>.wav + <key>.spk entries grouped by prefix
-    (processor.py tar_file_and_group:68)."""
+    (processor.py tar_file_and_group:68). http(s) URLs stream through
+    urllib (the reference shells out to wget — processor.py url_opener:37)."""
     for path in tar_paths:
         try:
-            tf = tarfile.open(path)
+            if path.startswith(("http://", "https://")):
+                import urllib.request
+                tf = tarfile.open(fileobj=urllib.request.urlopen(path),
+                                  mode="r|*")
+            else:
+                tf = tarfile.open(path)
         except Exception:
             continue
         with tf:

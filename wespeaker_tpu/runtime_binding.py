@@ -143,3 +143,43 @@ class NativeEngine:
     def __del__(self):
         if getattr(self, "handle", None):
             self.lib.wtpu_engine_free(self.handle)
+
+
+class NativePipeline:
+    """Streaming feature pipeline (AcceptWaveform / Read contract)."""
+
+    def __init__(self, num_bins=80, sample_rate=16000):
+        self.lib = load_library()
+        self.lib.wtpu_pipeline_new.restype = ctypes.c_void_p
+        self.lib.wtpu_pipeline_new.argtypes = [ctypes.c_int, ctypes.c_int]
+        self.lib.wtpu_pipeline_free.argtypes = [ctypes.c_void_p]
+        self.lib.wtpu_pipeline_accept.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        self.lib.wtpu_pipeline_finish.argtypes = [ctypes.c_void_p]
+        self.lib.wtpu_pipeline_read.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int]
+        self.lib.wtpu_pipeline_read.restype = ctypes.c_int
+        self.num_bins = num_bins
+        self.handle = self.lib.wtpu_pipeline_new(num_bins, sample_rate)
+
+    def accept(self, wav_int16_range: np.ndarray):
+        wav = np.ascontiguousarray(wav_int16_range, np.float32)
+        self.lib.wtpu_pipeline_accept(
+            self.handle,
+            wav.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(wav))
+
+    def finish(self):
+        self.lib.wtpu_pipeline_finish(self.handle)
+
+    def read(self, n: int) -> np.ndarray:
+        out = np.zeros((n, self.num_bins), np.float32)
+        got = self.lib.wtpu_pipeline_read(
+            self.handle, n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.num_bins)
+        return out[:got]
+
+    def __del__(self):
+        if getattr(self, "handle", None):
+            self.lib.wtpu_pipeline_free(self.handle)

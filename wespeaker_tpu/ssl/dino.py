@@ -129,6 +129,38 @@ def dino_loss(student_out, teacher_out, center, teacher_temp, n_scrops,
     return total / max(terms, 1)
 
 
+def no_weight_decay_mask(params):
+    """True where weight decay applies: skip biases and 1-D (norm) params
+    (dino_utils.get_params_groups:180-195)."""
+    def fn(path, leaf):
+        names = [str(getattr(p, "key", "")) for p in path]
+        if names and names[-1] in ("bias", "scale"):
+            return False
+        return jnp.ndim(leaf) > 1
+
+    return jax.tree_util.tree_map_with_path(fn, params)
+
+
+def make_dino_optimizer(kind: str, params, weight_decay: float = 1e-4):
+    """SGD / AdamW / LARS with decoupled weight decay masked off biases and
+    norm parameters; learning rate injected per-step by the train loop
+    (ssl/bin/train_dino.py optimizer block)."""
+    mask = no_weight_decay_mask(params)
+    wd = optax.masked(optax.add_decayed_weights(weight_decay), mask)
+    if kind.lower() == "lars":
+        inner = lambda lr: optax.lars(lr, weight_decay=0.0)
+    elif kind.lower() == "adamw":
+        inner = lambda lr: optax.adam(lr)
+    else:
+        inner = lambda lr: optax.sgd(lr, momentum=0.9)
+
+    @optax.inject_hyperparams
+    def tx(learning_rate):
+        return optax.chain(wd, inner(learning_rate))
+
+    return tx(learning_rate=0.0)
+
+
 class DINOState(flax.struct.PyTreeNode):
     step: jnp.ndarray
     student: Any
