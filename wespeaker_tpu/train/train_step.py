@@ -76,10 +76,17 @@ def features_from_batch(batch, fbank_cfg: FbankConfig, aug: Optional[AugConfig],
         feat = batch["feat"]
     else:
         wav = batch["wav"] * (1 << 15)
-        dither_key = None
         if train and fbank_cfg.dither != 0.0:
-            key, dither_key = jax.random.split(key)
-        feat = compute_fbank(wav, fbank_cfg, key=dither_key)
+            # waveform-level dither so the fused-conv fbank fast path stays
+            # usable in training (kaldi dithers per frame; overlapping
+            # windows then see independent noise — the correlation
+            # difference is irrelevant for a regularizer, and eval always
+            # runs dither=0)
+            key, sub = jax.random.split(key)
+            wav = wav + fbank_cfg.dither * jax.random.normal(
+                sub, wav.shape, dtype=wav.dtype)
+            fbank_cfg = dataclasses.replace(fbank_cfg, dither=0.0)
+        feat = compute_fbank(wav, fbank_cfg, key=None)
     feat = apply_cmvn(feat)
     if train and aug is not None and aug.spec_aug:
         key, sub = jax.random.split(key)
