@@ -141,11 +141,17 @@ def train(config: str, overrides=None, **kwargs):
 
     start_epoch = 0
     if configs.get("checkpoint"):
+        # tolerant load: projection rows are truncated / re-initialized when
+        # the class count changed (speed-perturb -> LM transitions), like the
+        # reference's strict=False load (utils/checkpoint.py:33-67)
         variables = {"params": state.params["model"],
-                     "batch_stats": state.batch_stats}
+                     "batch_stats": state.batch_stats,
+                     "projection": state.params["projection"]}
         loaded = ckpt.load_checkpoint(configs["checkpoint"], variables)
         state = state.replace(
-            params={**state.params, "model": loaded["params"]},
+            params={"model": loaded["params"],
+                    "projection": loaded.get("projection",
+                                             state.params["projection"])},
             batch_stats=loaded["batch_stats"])
         start_epoch = ckpt.parse_start_epoch(configs["checkpoint"])
         logger.info(f"resumed from {configs['checkpoint']} "
