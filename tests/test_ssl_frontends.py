@@ -36,3 +36,22 @@ def test_featurizer_weighted_sum():
     out = f.apply(variables, states)
     # zero-init weights -> uniform average = 1.0
     np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)
+
+
+def test_frontend_speaker_model_composite():
+    """Tiny whisper encoder + PMFA head end-to-end (the Whisper-PMFA
+    composite the trainer attaches)."""
+    from wespeaker_tpu.frontend.whisper_encoder import AudioEncoder
+    from wespeaker_tpu.models.whisper_PMFA import whisper_PMFA
+    from wespeaker_tpu.models.with_frontend import FrontendSpeakerModel
+
+    enc = AudioEncoder(n_mels=24, n_ctx=50, n_state=32, n_head=4, n_layer=2,
+                       layer_st=0, layer_ed=1)
+    head = whisper_PMFA(output_size=64, embedding_dim=32)
+    model = FrontendSpeakerModel(enc, head, frozen_frontend=True)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 100, 24)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    emb = model.apply(variables, x)
+    assert emb.shape == (2, 32)
+    assert np.isfinite(np.asarray(emb)).all()
