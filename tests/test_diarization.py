@@ -152,3 +152,46 @@ def test_energy_vad():
     segs = energy_vad(wav, sr)
     assert len(segs) == 2
     assert abs(segs[0][0] - 1.0) < 0.1 and abs(segs[0][1] - 2.0) < 0.1
+
+
+@pytest.mark.slow
+def test_diarize_cli(tmp_path):
+    """End-to-end offline diarization CLI with a tiny trained-free model."""
+    import yaml
+    from wespeaker_tpu.bin.diarize import diarize
+    from wespeaker_tpu.data.wav_io import write_wav
+    from wespeaker_tpu.models import get_speaker_model
+    from wespeaker_tpu.utils.checkpoint import save_checkpoint
+
+    configs = {"model": "ECAPA_TDNN",
+               "model_args": {"feat_dim": 40, "embed_dim": 32,
+                              "channels": 32}}
+    model = get_speaker_model("ECAPA_TDNN")(**configs["model_args"])
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 32, 40), np.float32))
+    ckpt = tmp_path / "m.ckpt"
+    save_checkpoint(str(ckpt), {"params": variables["params"],
+                                "batch_stats": variables["batch_stats"]})
+    cfg_path = tmp_path / "c.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(configs, f)
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    t = np.arange(sr * 4) / sr
+    sig = (0.3 * np.sin(2 * np.pi * 440 * t)
+           * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))
+           + rng.normal(0, 0.01, len(t))).astype(np.float32)
+    wav_path = tmp_path / "rec.wav"
+    write_wav(wav_path, sig, sr)
+    scp = tmp_path / "wav.scp"
+    scp.write_text(f"rec {wav_path}\n")
+
+    sad = tmp_path / "sad.rttm"
+    sad.write_text("SPEAKER rec 1 0.100 3.800 <NA> <NA> spkA <NA> <NA>\n")
+    out, der = diarize(str(cfg_path), str(ckpt), str(scp),
+                       str(tmp_path / "out.rttm"), sad_rttm=str(sad),
+                       num_spks=1, ref_rttm=str(sad))
+    text = (tmp_path / "out.rttm").read_text()
+    assert text.startswith("SPEAKER rec")
+    assert der is not None and der < 0.2
