@@ -281,3 +281,8 @@ def test_redimnet2_b0():
 def test_redimnet2_b6():
     # 2d output head, fractional conv_exp, gcd-grouped tconvs
     _parity_redimnet2("ReDimNet2B6")
+
+
+def test_redimnet2_b2_rect_kernels():
+    # (3,5)/(3,7) convnext kernels + freq stride 3 stage
+    _parity_redimnet2("ReDimNet2B2")
