@@ -1,0 +1,73 @@
+"""Two-process jax.distributed smoke test on the CPU backend — validates the
+multi-host bring-up path (coordinator rendezvous, global device view,
+cross-process psum through a jitted step) without a pod.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+WORKER = textwrap.dedent("""
+    import os, sys
+    for k in list(os.environ):
+        if "AXON" in k or k in ("PJRT_LIBRARY_PATH", "TPU_LIBRARY_PATH"):
+            del os.environ[k]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1]); coord = sys.argv[2]
+    jax.distributed.initialize(coordinator_address=coord, num_processes=2,
+                               process_id=pid)
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from wespeaker_tpu.parallel.mesh import make_mesh
+
+    assert jax.process_count() == 2
+    assert len(jax.devices()) == 4
+    mesh = make_mesh()
+    # global array sharded over all 4 devices; each process supplies its part
+    global_batch = np.arange(8.0, dtype=np.float32).reshape(4, 2)
+    sharding = NamedSharding(mesh, P("data"))
+    local_rows = global_batch[pid * 2:(pid + 1) * 2]
+    arr = jax.make_array_from_process_local_data(sharding, local_rows,
+                                                 global_shape=(4, 2))
+    total = jax.jit(lambda x: jnp.sum(x),
+                    out_shardings=NamedSharding(mesh, P()))(arr)
+    val = float(jax.device_get(total))
+    assert abs(val - 28.0) < 1e-6, val
+    print(f"proc{pid} ok sum={val}")
+""")
+
+
+@pytest.mark.slow
+def test_two_process_distributed(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen([sys.executable, str(script), str(i), coord],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{i} failed:\n{out[-3000:]}"
+        assert f"proc{i} ok" in out
