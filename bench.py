@@ -26,7 +26,7 @@ BASELINE_AUDIO_S_PER_S = 117.0  # 1 / 0.00857 (ResNet34 RTF on 3090)
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
     from wespeaker_tpu.frontend import FbankConfig
     from wespeaker_tpu.models.ecapa_tdnn import ECAPA_TDNN
