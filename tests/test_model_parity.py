@@ -286,3 +286,8 @@ def test_redimnet2_b6():
 def test_redimnet2_b2_rect_kernels():
     # (3,5)/(3,7) convnext kernels + freq stride 3 stage
     _parity_redimnet2("ReDimNet2B2")
+
+
+@pytest.mark.parametrize("pool", ["TAP", "TSDP", "MHASTP", "MQMHASTP"])
+def test_resnet_pooling_variants(pool):
+    _parity("ResNet18", embed_dim=128, pooling_func=pool, T=120)

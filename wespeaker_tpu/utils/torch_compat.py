@@ -39,12 +39,19 @@ IGNORED_TORCH_SUFFIXES = (
 )
 
 
+# pooling-layer child names used across every model family
+COMMON_RULES = (
+    (r"\bheads_att_trans_(\d+)\b", r"heads_att_trans.\1"),
+    (r"\bn_query_(\d+)\b", r"n_query.\1"),
+)
+
+
 def _to_torch_key(path: Tuple[str, ...], rules: Sequence[Tuple[str, str]]):
     *mods, leaf = path
     prefix = ".".join(mods)
     suffix = LEAF_TO_TORCH.get(leaf, leaf)
     key = f"{prefix}.{suffix}" if prefix else suffix
-    for pat, repl in rules:
+    for pat, repl in tuple(rules) + COMMON_RULES:
         key = re.sub(pat, repl, key)
     return key
 
