@@ -15,31 +15,10 @@ a jit-ed global batch the batch statistics are computed over the full
 per-replica BN.
 """
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
-
-
-class TorchBatchNorm(nn.Module):
-    """BatchNorm with torch parameter semantics (affine flag, eps/momentum)."""
-    use_running_average: Optional[bool] = None
-    affine: bool = True
-    epsilon: float = 1e-5
-    momentum: float = 0.9
-
-    @nn.compact
-    def __call__(self, x, use_running_average: Optional[bool] = None):
-        ura = nn.merge_param("use_running_average",
-                             self.use_running_average, use_running_average)
-        return nn.BatchNorm(
-            use_running_average=ura,
-            momentum=self.momentum,
-            epsilon=self.epsilon,
-            use_bias=self.affine,
-            use_scale=self.affine,
-            name="bn",
-        )(x)
 
 
 def conv1d(features, kernel_size, *, stride=1, padding=0, dilation=1,
@@ -88,27 +67,6 @@ def masked_mean(x, mask, axis, keepdims=False, eps=0.0):
     total = jnp.sum(x * mask, axis=axis, keepdims=keepdims)
     count = jnp.sum(mask, axis=axis, keepdims=keepdims)
     return total / jnp.maximum(count, 1.0 + eps)
-
-
-def masked_var(x, mask, axis, keepdims=False, ddof=0):
-    """Variance over `axis` under a mask; ddof=1 mirrors torch.var default."""
-    mean = masked_mean(x, mask, axis, keepdims=True)
-    sq = (x - mean) ** 2
-    if mask is not None:
-        sq = sq * mask
-        count = jnp.sum(mask, axis=axis, keepdims=keepdims)
-    else:
-        count = x.shape[axis] if isinstance(axis, int) else jnp.prod(
-            jnp.array([x.shape[a] for a in axis]))
-        count = jnp.asarray(count, x.dtype)
-    total = jnp.sum(sq, axis=axis, keepdims=keepdims)
-    if not keepdims and mask is not None:
-        pass
-    denom = jnp.maximum(count - ddof, 1.0)
-    var = total / denom
-    if not keepdims:
-        mean = jnp.squeeze(mean, axis)
-    return var
 
 
 Dtype = Any
