@@ -10,7 +10,7 @@ with scipy L-BFGS-B in float64 (a closed, tiny problem — no need for the
 reference's torch dependency).
 """
 
-from typing import Dict, List, Optional, Sequence
+from typing import Optional
 
 import numpy as np
 from scipy.optimize import minimize

@@ -14,7 +14,7 @@ Data sources are supplied as in-memory dicts or kaldi scp paths.
 
 import pickle
 import re
-from typing import Callable, Dict, List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 import scipy.linalg as spl

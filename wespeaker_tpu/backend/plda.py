@@ -15,7 +15,6 @@ import math
 import struct
 from typing import Dict, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

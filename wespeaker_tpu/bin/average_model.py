@@ -1,7 +1,6 @@
 """Average the last-N epoch checkpoints (wespeaker/bin/average_model.py:48-76)."""
 
 import argparse
-import os
 
 from wespeaker_tpu.utils.checkpoint import (average_checkpoints,
                                             find_epoch_checkpoints,

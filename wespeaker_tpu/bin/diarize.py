@@ -7,7 +7,6 @@ DER against a reference RTTM.
 """
 
 import argparse
-import sys
 
 import numpy as np
 

@@ -11,7 +11,6 @@ the whole batch runs jit-compiled instead of the reference's batch=1 loop.
 import argparse
 import json
 import logging
-import os
 
 import jax
 import jax.numpy as jnp

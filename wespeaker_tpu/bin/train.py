@@ -18,7 +18,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from wespeaker_tpu.data.dataset import Prefetcher, SpeakerDataset
 from wespeaker_tpu.data.pipeline import spk2id_from_utt2spk

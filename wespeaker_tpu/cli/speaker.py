@@ -11,15 +11,14 @@ the structural converter.
 
 import argparse
 import os
-import sys
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
 from wespeaker_tpu.data.wav_io import read_wav
 from wespeaker_tpu.diar.pipeline import diarize_wav, energy_vad
 from wespeaker_tpu.diar.rttm import RTTM_LINE
-from wespeaker_tpu.frontend import FbankConfig, apply_cmvn, compute_fbank
+from wespeaker_tpu.frontend import FbankConfig, compute_fbank
 from wespeaker_tpu.models import get_speaker_model
 from wespeaker_tpu.utils import checkpoint as ckpt_utils
 from wespeaker_tpu.utils.config import load_yaml

@@ -15,7 +15,6 @@ Differences by design (documented):
     yields exactly num_frms fbank frames (dataset.py:238-242)
 """
 
-import io
 import json
 import tarfile
 from typing import Dict, Iterable, Iterator, List, Optional
@@ -113,8 +112,6 @@ def parse_shard(tar_paths: Iterable[str]) -> Iterator[dict]:
 
 def parse_feat(scp_lines: Iterable[str], utt2spk: Dict[str, str]) -> Iterator[dict]:
     """Pre-computed kaldi fbank features (processor.py parse_feat:171)."""
-    from wespeaker_tpu.utils.kaldi_io import read_vec_scp
-
     for key, feat in read_vec_scp_iterlines(scp_lines):
         if key in utt2spk:
             yield {"key": key, "spk": utt2spk[key], "feat": feat}

@@ -6,7 +6,6 @@ index (keys, offsets, lengths). memmap-backed, fork-safe, zero-deserialize
 random reads — better fit for many dataloader workers than LMDB cursors.
 """
 
-import os
 from typing import List, Optional, Tuple
 
 import numpy as np

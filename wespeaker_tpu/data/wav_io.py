@@ -3,7 +3,6 @@ reference's torchaudio/soundfile readers and the C++ WavReader
 (runtime/core/frontend/wav.h)."""
 
 import io
-import struct
 import wave
 from typing import Tuple
 

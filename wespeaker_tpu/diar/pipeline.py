@@ -10,7 +10,7 @@ TPU-native: all subsegments of a recording are embedded as one padded batch
 through the jitted model instead of the reference's ONNX batch loop.
 """
 
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import numpy as np
 

@@ -17,7 +17,7 @@ Model-axis sharding: pass `params_partition_rules()` output to shard the
 attention/MLP kernels of large checkpoints over the ('model',) mesh axis.
 """
 
-from typing import Optional, Tuple
+
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ matmul; output layout is (B, T, n_mels).
 
 import dataclasses
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

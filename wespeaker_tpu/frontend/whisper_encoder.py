@@ -11,8 +11,6 @@ HBM (SURVEY.md §2.10).
 """
 
 import math
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np

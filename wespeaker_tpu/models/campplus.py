@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from wespeaker_tpu.models.layers import conv1d, conv2d
-from wespeaker_tpu.models.pooling_layers import get_pooling, pooling_out_dim
+from wespeaker_tpu.models.pooling_layers import get_pooling
 
 
 def _bn(train, name, affine=True):

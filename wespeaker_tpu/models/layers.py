@@ -15,7 +15,7 @@ a jit-ed global batch the batch statistics are computed over the full
 per-replica BN.
 """
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

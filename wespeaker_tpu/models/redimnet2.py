@@ -24,11 +24,9 @@ import jax.numpy as jnp
 from wespeaker_tpu.models.layers import conv1d, conv2d
 from wespeaker_tpu.models.pooling_layers import get_pooling
 from wespeaker_tpu.models.redimnet import (
-    MultiHeadAttention,
     PosEncConv,
     TransformerEncoderLayer,
     fwSEBlock,
-    new_gelu,
     to1d,
     to2d,
 )

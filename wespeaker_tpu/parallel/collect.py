@@ -11,9 +11,6 @@ device over the mesh:
   dimension sharded — XLA inserts the collectives.
 """
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map

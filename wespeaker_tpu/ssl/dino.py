@@ -18,7 +18,7 @@ JAX design:
 
 import dataclasses
 import math
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import flax.linen as nn
 import flax.struct

@@ -10,7 +10,7 @@ The reference's bitsandbytes 4-bit path is intentionally not reproduced
 """
 
 import re
-from typing import Callable, Dict, Optional, Tuple
+from typing import Tuple
 
 import jax
 import numpy as np

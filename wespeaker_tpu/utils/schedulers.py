@@ -12,7 +12,6 @@ recompilation and without host round-trips. Works on python floats too.
 
 import dataclasses
 import math
-from typing import Optional
 
 import jax.numpy as jnp
 

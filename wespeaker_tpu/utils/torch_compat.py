@@ -17,7 +17,7 @@ those path segments.
 """
 
 import re
-from typing import Dict, Iterable, Mapping, Sequence, Tuple
+from typing import Dict, Mapping, Sequence, Tuple
 
 import numpy as np
 from flax.core import freeze, unfreeze
