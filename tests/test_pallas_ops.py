@@ -46,3 +46,25 @@ def test_fused_masked_stats_matches_reference(with_mask):
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(std), np.asarray(want_std),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_fused_res2_module_matches_standard():
+    """ECAPA with fused_res2=True (Pallas, interpret on CPU) must equal the
+    standard flax path on identical variables."""
+    from wespeaker_tpu.models.ecapa_tdnn import ECAPA_TDNN
+
+    std = ECAPA_TDNN(channels=64, feat_dim=24, embed_dim=32)
+    fused = ECAPA_TDNN(channels=64, feat_dim=24, embed_dim=32,
+                       fused_res2=True)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(3, 60, 24)).astype(np.float32))
+    variables = std.init(jax.random.PRNGKey(0), x)
+    # randomize BN stats so folding is actually exercised
+    import jax as _j
+    bs = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * _j.random.normal(_j.random.PRNGKey(1), a.shape),
+        variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": bs}
+    want = np.asarray(std.apply(variables, x))
+    got = np.asarray(fused.apply(variables, x))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)

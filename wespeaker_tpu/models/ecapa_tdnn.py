@@ -73,6 +73,74 @@ class Res2Conv1dReluBn(nn.Module):
         return jnp.concatenate(out, axis=-1)
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder matching conv1d's tree (kernel/bias) without the
+    compute — lets the fused kernel reuse standard checkpoints."""
+    width: int
+    kernel_size: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, self.width, self.width))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.width,))
+
+    def __call__(self):
+        return self.kernel, self.bias
+
+
+class _BNParams(nn.Module):
+    """Parameter holder matching nn.BatchNorm's tree."""
+    width: int
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones, (self.width,))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.width,))
+        self.mean = self.variable("batch_stats", "mean",
+                                  lambda: jnp.zeros((self.width,)))
+        self.var = self.variable("batch_stats", "var",
+                                 lambda: jnp.ones((self.width,)))
+
+    def __call__(self):
+        return self.scale, self.bias, self.mean.value, self.var.value
+
+
+class FusedRes2Conv1dReluBn(nn.Module):
+    """Inference-only Res2 chain backed by the fused Pallas kernel
+    (ops/res2_pallas.py). Identical parameter tree to Res2Conv1dReluBn, so
+    checkpoints are interchangeable; ~2x faster than the XLA chain on TPU."""
+    channels: int
+    kernel_size: int = 1
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    scale: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert not train, "fused Res2 path is inference-only"
+        import jax as _jax
+
+        from wespeaker_tpu.ops.res2_pallas import fused_res2_chain
+
+        width = self.channels // self.scale
+        nums = self.scale - 1
+        kernels, biases, scales, shifts = [], [], [], []
+        for i in range(nums):
+            k, b = _ConvParams(width, self.kernel_size,
+                               name=f"convs_{i}")()
+            gamma, beta, mean, var = _BNParams(width, name=f"bns_{i}")()
+            s = gamma / jnp.sqrt(var + 1e-5)
+            kernels.append(k)
+            biases.append(b)
+            scales.append(s)
+            shifts.append(beta - mean * s)
+        interpret = _jax.devices()[0].platform != "tpu"
+        return fused_res2_chain(
+            x, jnp.stack(kernels), jnp.stack(biases), jnp.stack(scales),
+            jnp.stack(shifts), self.dilation, interpret=interpret)
+
+
 class SE_Connect(nn.Module):
     channels: int
     se_bottleneck_dim: int = 128
@@ -92,13 +160,16 @@ class SE_Res2Block(nn.Module):
     padding: int
     dilation: int
     scale: int
+    fused_res2: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
         out = Conv1dReluBn(self.channels, 1, name="block_0")(x, train)
-        out = Res2Conv1dReluBn(self.channels, self.kernel_size, self.stride,
-                               self.padding, self.dilation, self.scale,
-                               name="block_1")(out, train)
+        res2_cls = (FusedRes2Conv1dReluBn
+                    if self.fused_res2 and not train else Res2Conv1dReluBn)
+        out = res2_cls(self.channels, self.kernel_size, self.stride,
+                       self.padding, self.dilation, self.scale,
+                       name="block_1")(out, train)
         out = Conv1dReluBn(self.channels, 1, name="block_2")(out, train)
         out = SE_Connect(self.channels, name="block_3")(out, mask)
         return x + out
@@ -111,17 +182,19 @@ class ECAPA_TDNN(nn.Module):
     pooling_func: str = "ASTP"
     global_context_att: bool = False
     emb_bn: bool = False
+    fused_res2: bool = False  # Pallas Res2 chain (inference only)
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None,
                  train: bool = False, return_frame_feat: bool = False):
         """x: (B, T, F) fbank features. Returns (B, embed_dim) embedding."""
+        fr = self.fused_res2
         out1 = Conv1dReluBn(self.channels, 5, padding=2, name="layer1")(x, train)
-        out2 = SE_Res2Block(self.channels, 3, 1, 2, 2, 8,
+        out2 = SE_Res2Block(self.channels, 3, 1, 2, 2, 8, fr,
                             name="layer2")(out1, mask, train)
-        out3 = SE_Res2Block(self.channels, 3, 1, 3, 3, 8,
+        out3 = SE_Res2Block(self.channels, 3, 1, 3, 3, 8, fr,
                             name="layer3")(out2, mask, train)
-        out4 = SE_Res2Block(self.channels, 3, 1, 4, 4, 8,
+        out4 = SE_Res2Block(self.channels, 3, 1, 4, 4, 8, fr,
                             name="layer4")(out3, mask, train)
 
         out = jnp.concatenate([out2, out3, out4], axis=-1)
