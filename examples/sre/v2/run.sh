@@ -2,6 +2,7 @@
 # NIST SRE16 recipe (reference examples/sre/v2 equivalent): fbank40 softmax
 # training + PLDA backend with unsupervised domain adaptation.
 set -e
+. "$(dirname "$0")/../../parse_options.sh" "$@"
 stage=${stage:-3}
 data=${data:-data}
 exp=${exp:-exp/sre_resnet34}

@@ -3,7 +3,7 @@
 # the reference examples/voxceleb/v2/run.sh. Expects standard kaldi-style
 # prep outputs (wav.scp + utt2spk per set, MUSAN/RIR wav.scp) under data/.
 set -e
-. "$(dirname "$0")/parse_options.sh" 2>/dev/null || true
+. "$(dirname "$0")/../../parse_options.sh" "$@"
 
 stage=${stage:-1}
 stop_stage=${stop_stage:-7}

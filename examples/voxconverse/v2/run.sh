@@ -2,6 +2,7 @@
 # VoxConverse diarization recipe (reference examples/voxconverse/v2/run.sh
 # equivalent). Expects data/<set>/wav.scp and the official reference RTTMs.
 set -e
+. "$(dirname "$0")/../../parse_options.sh" "$@"
 stage=${stage:-1}
 data=${data:-data}
 exp=${exp:-exp/diar}

@@ -142,6 +142,27 @@ def wav2dur(wav_scp, out_path):
     return total
 
 
+def vector_mean(spk2utt, xvector_scp, out_prefix):
+    """Per-speaker mean of utterance embeddings (tools/vector_mean.py:25-53);
+    used for CNCeleb multi-utterance enrollment (CNC-Eval-Avg)."""
+    from wespeaker_tpu.utils.kaldi_io import (read_vec_scp_dict,
+                                              write_vec_ark_scp)
+    utt2emb = read_vec_scp_dict(xvector_scp)
+
+    def items():
+        with open(spk2utt) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                spk, utts = parts[0], parts[1:]
+                vecs = [utt2emb[u] for u in utts if u in utt2emb]
+                if vecs:
+                    yield spk, np.mean(vecs, axis=0)
+
+    return write_vec_ark_scp(out_prefix, items())
+
+
 def generate_calibration_trial(utt2spk, out_trials, num_target=1000,
                                num_nontarget=1000, seed=0):
     """Same/different-speaker calibration trials
@@ -192,6 +213,10 @@ def main():
     t = sub.add_parser("calibration_trial")
     t.add_argument("--utt2spk", required=True)
     t.add_argument("--out_trials", required=True)
+    v = sub.add_parser("vector_mean")
+    v.add_argument("--spk2utt", required=True)
+    v.add_argument("--xvector_scp", required=True)
+    v.add_argument("--out_prefix", required=True)
     args = ap.parse_args()
     if args.cmd == "raw":
         make_raw_list(args.wav_scp, args.utt2spk, args.out_list,
@@ -205,6 +230,8 @@ def main():
                        max_duration_s=args.max_duration_s)
     elif args.cmd == "wav2dur":
         wav2dur(args.wav_scp, args.out)
+    elif args.cmd == "vector_mean":
+        vector_mean(args.spk2utt, args.xvector_scp, args.out_prefix)
     else:
         generate_calibration_trial(args.utt2spk, args.out_trials)
 

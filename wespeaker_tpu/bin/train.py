@@ -139,6 +139,18 @@ def train(config: str, overrides=None, **kwargs):
                              embed_dim=configs["model_args"]["embed_dim"])
 
     start_epoch = 0
+    if configs.get("model_init"):
+        # weights-only init (no epoch resume, fresh projection): the SSL
+        # fine-tuning entry point (reference train.py:130-133) — e.g.
+        # cnceleb/v3_finetune starting from a DINO-pretrained backbone.
+        variables = {"params": state.params["model"],
+                     "batch_stats": state.batch_stats}
+        loaded = ckpt.load_checkpoint(configs["model_init"], variables)
+        state = state.replace(
+            params={"model": loaded["params"],
+                    "projection": state.params["projection"]},
+            batch_stats=loaded["batch_stats"])
+        logger.info(f"initialized model from {configs['model_init']}")
     if configs.get("checkpoint"):
         # tolerant load: projection rows are truncated / re-initialized when
         # the class count changed (speed-perturb -> LM transitions), like the
