@@ -19,22 +19,24 @@ import numpy as np
 from wespeaker_tpu.data.dataset import eval_batches
 from wespeaker_tpu.data.wav_io import read_wav
 from wespeaker_tpu.frontend import FbankConfig
-from wespeaker_tpu.models import get_speaker_model
 from wespeaker_tpu.train import make_eval_embed_fn
+from wespeaker_tpu.train.composite import build_model
 from wespeaker_tpu.utils import checkpoint as ckpt
 from wespeaker_tpu.utils.config import parse_config_or_kwargs
 from wespeaker_tpu.utils.kaldi_io import write_vec_ark_scp
 
 
 def load_model_for_eval(configs, checkpoint_path):
-    model = get_speaker_model(configs["model"])(**configs["model_args"])
-    feat_dim = configs["model_args"].get("feat_dim", 80)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 32, feat_dim)), train=False)
+    import flax.linen as nn
+
+    built = build_model(configs)
+    variables = nn.meta.unbox(
+        built.model.init(jax.random.PRNGKey(0), built.init_example,
+                         train=False))
     loaded = ckpt.load_checkpoint(checkpoint_path, {
         "params": variables["params"],
         "batch_stats": variables.get("batch_stats", {})})
-    return model, {"params": loaded["params"],
+    return built, {"params": loaded["params"],
                    "batch_stats": loaded.get("batch_stats", {})}
 
 
@@ -56,7 +58,7 @@ def extract(config, checkpoint_path, data_list, out_prefix, batch_size=8,
     """num_splits/split_index stripe the data list across independent
     processes/hosts (tools/extract_embedding.sh:40-75 equivalent)."""
     configs = parse_config_or_kwargs(config, overrides, **kwargs)
-    model, variables = load_model_for_eval(configs, checkpoint_path)
+    built, variables = load_model_for_eval(configs, checkpoint_path)
 
     fbank_args = configs.get("dataset_args", {}).get("fbank_args", {})
     fbank_cfg = FbankConfig(
@@ -65,7 +67,8 @@ def extract(config, checkpoint_path, data_list, out_prefix, batch_size=8,
         frame_length_ms=fbank_args.get("frame_length", 25),
         frame_shift_ms=fbank_args.get("frame_shift", 10),
         dither=0.0)
-    embed_fn = jax.jit(make_eval_embed_fn(model, fbank_cfg))
+    embed_fn = jax.jit(make_eval_embed_fn(
+        built.model, fbank_cfg, featurize_fn=built.featurize_eval))
 
     def wavs():
         for i, item in enumerate(iter_wavs_from_list(data_list)):

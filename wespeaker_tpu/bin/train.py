@@ -22,8 +22,8 @@ import jax.numpy as jnp
 from wespeaker_tpu.data.dataset import Prefetcher, SpeakerDataset
 from wespeaker_tpu.data.pipeline import spk2id_from_utt2spk
 from wespeaker_tpu.frontend import FbankConfig
-from wespeaker_tpu.models import get_speaker_model
 from wespeaker_tpu.models.projections import get_projection
+from wespeaker_tpu.train.composite import build_model
 from wespeaker_tpu.parallel.mesh import (init_distributed, make_mesh,
                                          replicated, shard_batch)
 from wespeaker_tpu.train import (AugConfig, init_train_state, make_train_step)
@@ -47,8 +47,7 @@ def setup_logger(exp_dir):
 
 
 def build_from_config(configs, num_class):
-    feat_dim = configs["model_args"].get("feat_dim", 80)
-    model = get_speaker_model(configs["model"])(**configs["model_args"])
+    built = build_model(configs)  # attaches non-fbank frontends
     proj_conf = dict(configs.get("projection_args", {}))
     proj_conf.setdefault("project_type", "arc_margin")
     proj_conf["embed_dim"] = configs["model_args"]["embed_dim"]
@@ -56,7 +55,15 @@ def build_from_config(configs, num_class):
     proj_conf.setdefault("scale", 32.0)
     proj_conf.setdefault("easy_margin", False)
     projection = get_projection(proj_conf)
-    return model, projection, feat_dim
+    return built, projection
+
+
+def _frontend_frozen_mask(params):
+    """True for trainable leaves; False under the composite's frozen
+    'frontend' child (torch requires_grad=False equivalent)."""
+    def trainable(path, _):
+        return not any(getattr(k, "key", None) == "frontend" for k in path)
+    return jax.tree_util.tree_map_with_path(trainable, params)
 
 
 def train(config: str, overrides=None, **kwargs):
@@ -89,8 +96,12 @@ def train(config: str, overrides=None, **kwargs):
     logger.info(f"speakers: {len(spk2id)} classes: {num_class} "
                 f"devices: {n_dev} hosts: {world}")
 
-    model, projection, feat_dim = build_from_config(configs, num_class)
-    tx = make_optimizer(configs)
+    built, projection = build_from_config(configs, num_class)
+    model, feat_dim = built.model, built.init_feat_dim
+    tx = make_optimizer(
+        configs,
+        _frontend_frozen_mask
+        if getattr(model, "frozen_frontend", False) else None)
 
     batch_size = dataset_args.get("batch_size", 64)
     global_batch = batch_size * n_dev
@@ -132,11 +143,13 @@ def train(config: str, overrides=None, **kwargs):
     step_fn = make_train_step(
         model, projection, tx, lr_fn, margin_fn, fbank_cfg, aug,
         compute_dtype=jnp.bfloat16 if configs.get("enable_amp") else
-        jnp.float32)
+        jnp.float32,
+        featurize_fn=built.featurize_train)
     state = init_train_state(model, projection, tx,
                              jax.random.PRNGKey(configs.get("seed", 42)),
                              feat_dim=feat_dim,
-                             embed_dim=configs["model_args"]["embed_dim"])
+                             embed_dim=configs["model_args"]["embed_dim"],
+                             example=built.init_example)
 
     start_epoch = 0
     if configs.get("model_init"):

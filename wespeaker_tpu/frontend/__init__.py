@@ -28,4 +28,7 @@ def get_frontend(name: str):
         from wespeaker_tpu.frontend.whisper_encoder import (
             WhisperEncoderFrontend)
         return WhisperEncoderFrontend
+    if name in ("wavlm", "s3prl"):
+        from wespeaker_tpu.frontend.wavlm import WavLMWithFeaturizer
+        return WavLMWithFeaturizer
     raise KeyError(f"unknown frontend {name}")

@@ -89,18 +89,14 @@ class Wav2Vec2Frontend:
 
 
 def s3prl_frontend(*args, **kwargs):
-    """The torch s3prl upstream zoo is not TPU-native; use Wav2Vec2Frontend
-    (flax) or extract features offline and train with data_type='feat'."""
-    try:
-        import s3prl  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "s3prl is not installed; the TPU-native alternative is "
-            "Wav2Vec2Frontend (flax), or precompute features offline"
-        ) from e
-    raise NotImplementedError(
-        "torch s3prl upstreams cannot run inside the jitted TPU train step; "
-        "precompute features or use Wav2Vec2Frontend")
+    """The torch s3prl upstream zoo is not TPU-native. The WavLM upstream —
+    the one the reference recipes actually use (run_wavlm.sh) — has a native
+    flax port with torch parity: frontend/wavlm.py::WavLMWithFeaturizer
+    (config `dataset_args.frontend: wavlm`). Other upstreams: use
+    Wav2Vec2Frontend (flax) or precompute features (data_type='feat')."""
+    from wespeaker_tpu.frontend.wavlm import WavLMWithFeaturizer
+
+    return WavLMWithFeaturizer(*args, **kwargs)
 
 
 def w2vbert_frontend(model_name_or_config=None, **kwargs):

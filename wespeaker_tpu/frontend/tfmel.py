@@ -85,14 +85,28 @@ def preemphasis(x, coef=0.97):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "train"))
 def tfmel(wav, cfg: TFMelConfig = TFMelConfig(), *, train: bool = False,
-          key=None):
+          key=None, mask=None):
     """wav: (B, N) float -> (B, T, n_mels) log-mel with per-bin time CMN.
-    T = floor((N + 2*(hop//2) - win) / hop) + 1 (conv padding=hop//2)."""
+    T = floor((N + 2*(hop//2) - win) / hop) + 1 (conv padding=hop//2).
+
+    mask: optional (B, T) frame-validity mask for padded bucket batches —
+    signal norm and the time CMN then use masked statistics so padded eval
+    approximates the reference's whole-utterance batch=1 path."""
     real_k, imag_k, mel_k = (jnp.asarray(a) for a in _kernels(cfg))
     x = wav.astype(jnp.float32)
     if cfg.norm_signal:
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        std = jnp.std(x, axis=-1, keepdims=True)
+        if mask is None:
+            mean = jnp.mean(x, axis=-1, keepdims=True)
+            std = jnp.std(x, axis=-1, keepdims=True)
+        else:
+            n_valid = jnp.maximum(
+                jnp.sum(mask, axis=-1, keepdims=True), 1.0) * cfg.hop_length
+            n_valid = jnp.minimum(n_valid, x.shape[-1])
+            smask = (jnp.arange(x.shape[-1])[None, :] < n_valid)
+            mean = jnp.sum(x * smask, axis=-1, keepdims=True) / n_valid
+            var = jnp.sum(((x - mean) * smask) ** 2, axis=-1,
+                          keepdims=True) / n_valid
+            std = jnp.sqrt(var)
         x = (x - mean) / (std + 1e-6)
     if cfg.do_preemph:
         x = preemphasis(x)
@@ -107,7 +121,13 @@ def tfmel(wav, cfg: TFMelConfig = TFMelConfig(), *, train: bool = False,
     power = jnp.clip(real ** 2 + imag ** 2, cfg.eps, 1.0 / cfg.eps)
     mel = jnp.clip(power @ mel_k, cfg.eps, 1.0 / cfg.eps)
     logmel = jnp.log(mel + cfg.eps)
-    logmel = logmel - jnp.mean(logmel, axis=-2, keepdims=True)  # time CMN
+    if mask is None:
+        logmel = logmel - jnp.mean(logmel, axis=-2, keepdims=True)  # CMN
+    else:
+        m = mask[..., :logmel.shape[-2], None]
+        denom = jnp.maximum(jnp.sum(m, axis=-2, keepdims=True), 1.0)
+        cmn = jnp.sum(logmel * m, axis=-2, keepdims=True) / denom
+        logmel = (logmel - cmn) * m  # zero padded frames for the convs
     if train and key is not None:
         logmel = fbank_aug(key, logmel)
     return logmel

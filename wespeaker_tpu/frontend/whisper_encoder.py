@@ -37,7 +37,7 @@ class MultiHeadAttention(nn.Module):
     n_head: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
         d = self.n_state // self.n_head
         q = _dense(self.n_state, "query",
                    shard_axes=("embed", "heads"))(x)
@@ -51,7 +51,12 @@ class MultiHeadAttention(nn.Module):
         v = v.reshape(b, t, self.n_head, d).transpose(0, 2, 1, 3)
         scale = d ** -0.25
         logits = (q * scale) @ (k * scale).transpose(0, 1, 3, 2)
-        w = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+        logits = logits.astype(jnp.float32)
+        if mask is not None:
+            # exclude padded key positions so bucketed batch eval matches
+            # the reference's whole-utterance batch=1 path
+            logits = jnp.where(mask[:, None, None, :] > 0, logits, -1e30)
+        w = nn.softmax(logits, axis=-1).astype(q.dtype)
         out = (w @ v).transpose(0, 2, 1, 3).reshape(b, t, self.n_state)
         return _dense(self.n_state, "out", shard_axes=("heads", "embed"))(out)
 
@@ -61,9 +66,10 @@ class ResidualAttentionBlock(nn.Module):
     n_head: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
         h = nn.LayerNorm(name="attn_ln")(x)
-        x = x + MultiHeadAttention(self.n_state, self.n_head, name="attn")(h)
+        x = x + MultiHeadAttention(self.n_state, self.n_head,
+                                   name="attn")(h, mask)
         h = nn.LayerNorm(name="mlp_ln")(x)
         h = _dense(self.n_state * 4, "mlp_0", shard_axes=("embed", "mlp"))(h)
         h = nn.gelu(h, approximate=False)
@@ -83,8 +89,12 @@ class AudioEncoder(nn.Module):
     layer_ed: int
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, mask=None, train: bool = False):
         # torch path takes (B, n_mels, T); ours is (B, T, n_mels) natively
+        if mask is not None:
+            # zero padded mel frames so the strided convs see the same zero
+            # padding a whole-utterance batch=1 forward would
+            x = x * mask[..., None]
         h = nn.Conv(self.n_state, (3,), padding=[(1, 1)], name="conv1")(x)
         h = nn.gelu(h, approximate=False)
         h = nn.Conv(self.n_state, (3,), strides=(2,), padding=[(1, 1)],
@@ -100,10 +110,14 @@ class AudioEncoder(nn.Module):
             pos_t = pos
         h = h + pos_t
 
+        out_mask = None
+        if mask is not None:
+            out_mask = mask[:, ::2][:, :h.shape[1]]
+
         outs = []
         for i in range(self.n_layer):
             h = ResidualAttentionBlock(self.n_state, self.n_head,
-                                       name=f"blocks_{i}")(h)
+                                       name=f"blocks_{i}")(h, out_mask)
             if self.layer_st <= i <= self.layer_ed:
                 outs.append(h)
         hs = jnp.concatenate(outs, axis=-1)
@@ -122,11 +136,15 @@ class WhisperEncoderFrontend(nn.Module):
     n_ctx: int = 1500
     frozen: bool = False
 
+    # conv2 halves the time axis: the composite wrapper downsamples frame
+    # masks by this stride before CMVN/pooling
+    time_stride = 2
+
     @nn.compact
-    def __call__(self, feats, train: bool = False):
+    def __call__(self, feats, mask=None, train: bool = False):
         out = AudioEncoder(self.n_mels, self.n_ctx, self.output_size,
                            self.n_head, self.num_blocks, self.layer_st,
-                           self.layer_ed, name="encoder")(feats, train)
+                           self.layer_ed, name="encoder")(feats, mask, train)
         if self.frozen:
             out = jnp.asarray(out)
             out = jax_stop_gradient(out)

@@ -98,13 +98,22 @@ def make_train_step(model, projection, tx: optax.GradientTransformation,
                     lr_fn: Callable, margin_fn: Callable,
                     fbank_cfg: FbankConfig = FbankConfig(dither=1.0),
                     aug: AugConfig = AugConfig(),
-                    compute_dtype=jnp.float32):
+                    compute_dtype=jnp.float32,
+                    featurize_fn: Optional[Callable] = None):
     """Build the pure train-step function. `tx` must be built with
     optax.inject_hyperparams so `lr_fn(step)` can be written into
-    opt_state.hyperparams['learning_rate'] inside the trace."""
+    opt_state.hyperparams['learning_rate'] inside the trace.
+
+    featurize_fn(batch, key) overrides the default wav->fbank->cmvn->spec-aug
+    chain — the hook for neural/DSP frontends whose model input is not kaldi
+    fbank (whisper log-mel, TFMel; reference executor.py:42-48)."""
 
     def loss_fn(params, batch_stats, batch, margin, key):
-        feat = features_from_batch(batch, fbank_cfg, aug, key, train=True)
+        if featurize_fn is None:
+            feat = features_from_batch(batch, fbank_cfg, aug, key,
+                                       train=True)
+        else:
+            feat = featurize_fn(batch, key)
         feat = feat.astype(compute_dtype)
         variables = {"params": params["model"], "batch_stats": batch_stats}
         embed, mutated = model.apply(
@@ -146,12 +155,22 @@ def make_train_step(model, projection, tx: optax.GradientTransformation,
 
 
 def make_eval_embed_fn(model, fbank_cfg: FbankConfig = FbankConfig(),
-                       compute_dtype=jnp.float32, from_wav: bool = True):
+                       compute_dtype=jnp.float32, from_wav: bool = True,
+                       featurize_fn: Optional[Callable] = None):
     """Embedding-extraction forward: wav/feat (+ optional frame mask) ->
     (B, D) embeddings, mirroring wespeaker/bin/extract.py:112-135 (no aug,
-    no dither, CMVN on)."""
+    no dither, CMVN on).
+
+    featurize_fn(batch) -> (feat, frame_mask) overrides the fbank+CMVN
+    default for non-fbank frontends (the composite model then normalizes
+    the frontend output itself)."""
 
     def embed_fn(variables, batch):
+        if featurize_fn is not None:
+            feat, fmask = featurize_fn(batch)
+            feat = feat.astype(compute_dtype)
+            emb = model.apply(variables, feat, mask=fmask, train=False)
+            return emb.astype(jnp.float32)
         if from_wav:
             wav = batch["wav"] * (1 << 15)
             feat = compute_fbank(wav, fbank_cfg, key=None)
@@ -176,9 +195,18 @@ def make_eval_embed_fn(model, fbank_cfg: FbankConfig = FbankConfig(),
 
 
 def init_train_state(model, projection, tx, rng, feat_dim=80,
-                     embed_dim=192) -> TrainState:
+                     embed_dim=192, example=None) -> TrainState:
+    """`example` overrides the (2, 32, feat_dim) feature dummy for models
+    whose input is not a feature map (wav-native composites)."""
+    import flax.linen as nn
+
     k1, k2, k3 = jax.random.split(rng, 3)
-    mvars = model.init(k1, jnp.zeros((2, 32, feat_dim)), train=False)
+    if example is None:
+        example = jnp.zeros((2, 32, feat_dim))
+    mvars = model.init(k1, example, train=False)
+    # strip logical-partitioning boxes (whisper frontend annotates its
+    # matmuls for model-axis sharding); the trainer shards via device_put
+    mvars = nn.meta.unbox(mvars)
     pvars = projection.init(k2, jnp.zeros((2, embed_dim)),
                             jnp.zeros((2,), jnp.int32))
     params = {"model": mvars["params"], "projection": pvars["params"]}

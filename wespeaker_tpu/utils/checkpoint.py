@@ -21,6 +21,8 @@ from flax.traverse_util import flatten_dict, unflatten_dict
 
 
 def save_checkpoint(path: str, variables: Dict[str, Any]):
+    from flax.linen import meta
+    variables = meta.unbox(variables)
     tree = jax.tree_util.tree_map(np.asarray, variables)
     with open(path, "wb") as f:
         f.write(serialization.msgpack_serialize(

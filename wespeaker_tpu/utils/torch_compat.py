@@ -36,6 +36,8 @@ IGNORED_TORCH_SUFFIXES = (
     "positional_embedding",
     # ReDimNet's frozen all-ones stage-0 weight placeholder (redimnet.py:661)
     "inputs_weights.0",
+    # WavLM spec-augment mask embedding (train-time only)
+    "masked_spec_embed",
 )
 
 
@@ -225,6 +227,18 @@ MODEL_RULES = {
     ],
     "whisper_PMFA": [
         (r"\bbn_norm\b", "bn.norm"),
+    ],
+    "WavLM": [
+        # HF transformers WavLMModel state_dict names; the pos-conv
+        # weight_norm must be pre-folded with fold_wavlm_weight_norm
+        (r"\bconv_layers_(\d+)_conv\b", r"conv_layers.\1.conv"),
+        (r"\bconv_layers_(\d+)_layer_norm\b", r"conv_layers.\1.layer_norm"),
+        (r"\bfeature_projection_layer_norm\b", "feature_projection.layer_norm"),
+        (r"\bfeature_projection_projection\b", "feature_projection.projection"),
+        (r"\bpos_conv_embed_conv\b", "encoder.pos_conv_embed.conv"),
+        (r"\bencoder_layer_norm\b", "encoder.layer_norm"),
+        (r"\blayers_(\d+)\b", r"encoder.layers.\1"),
+        (r"\brel_attn_embed\.embedding\b", "rel_attn_embed.weight"),
     ],
     "WhisperEncoder": [
         (r"\bblocks_(\d+)\b", r"blocks.\1"),
