@@ -31,4 +31,7 @@ def get_frontend(name: str):
     if name in ("wavlm", "s3prl"):
         from wespeaker_tpu.frontend.wavlm import WavLMWithFeaturizer
         return WavLMWithFeaturizer
+    if name == "w2vbert":
+        from wespeaker_tpu.frontend.w2vbert import W2VBertFrontend
+        return W2VBertFrontend
     raise KeyError(f"unknown frontend {name}")

@@ -99,10 +99,10 @@ def s3prl_frontend(*args, **kwargs):
     return WavLMWithFeaturizer(*args, **kwargs)
 
 
-def w2vbert_frontend(model_name_or_config=None, **kwargs):
-    """w2v-bert-2.0 has no Flax port in this transformers build; the
-    wav2vec2 family is the flax-native stand-in with the same frontend
-    contract (all_hidden_states, last_hidden)."""
-    from transformers import Wav2Vec2Config  # noqa: F401
+def w2vbert_frontend(*args, **kwargs):
+    """w2v-bert 2.0 now has a native flax port with torch parity:
+    frontend/w2vbert.py::W2VBertFrontend (config
+    `dataset_args.frontend: w2vbert`)."""
+    from wespeaker_tpu.frontend.w2vbert import W2VBertFrontend
 
-    return Wav2Vec2Frontend(model_name_or_config, **kwargs)
+    return W2VBertFrontend(*args, **kwargs)

@@ -52,6 +52,13 @@ class FrontendSpeakerModel(nn.Module):
         if self.frozen_frontend:
             feats = jax.tree_util.tree_map(jax.lax.stop_gradient, feats)
         if self.feed_all_hidden:
+            # frontends returning (hidden_states_tuple, last): the MFA head
+            # consumes the hidden-state tuple (w2vbert.py:150-198 contract)
+            if (isinstance(feats, tuple) and len(feats) == 2
+                    and isinstance(feats[0], (tuple, list))):
+                feats = feats[0]
+            if out_mask is not None and len(feats):
+                out_mask = out_mask[:, :feats[0].shape[1]]
             return self.speaker_model(feats, mask=out_mask, train=train)
         if isinstance(feats, (tuple, list)):
             feats = feats[-1]

@@ -124,6 +124,45 @@ def build_model(configs: Dict[str, Any]) -> BuiltModel:
         return BuiltModel(model, featurize_train, featurize_eval,
                           min_wav, frontend_type)
 
+    if frontend_type == "w2vbert":
+        # flax w2v-bert 2.0 port (parity-tested vs HF torch); pairs with the
+        # adapter-MFA head taking all hidden states (reference w2vbert
+        # recipes). DSP: SeamlessM4T stacked-fbank features on device.
+        from wespeaker_tpu.frontend.w2vbert import (W2VBertConfig,
+                                                    W2VBertFrontend,
+                                                    w2vbert_features)
+        from wespeaker_tpu.models.with_frontend import FrontendSpeakerModel
+
+        fe_args = dict(dataset_args.get("w2vbert_args", {}))
+        for k in ("model_path", "use_lora", "lora_config_args",
+                  "bnb_config_args"):
+            fe_args.pop(k, None)
+        frozen = fe_args.pop("frozen", False)
+        cfg = W2VBertConfig(**fe_args)
+        frontend = W2VBertFrontend(cfg, frozen=frozen)
+        model_args["feat_dim"] = cfg.hidden_size
+        feed_all = configs["model"].startswith("W2VBert")
+        if feed_all:
+            model_args.setdefault("num_frontend_hidden_layers",
+                                  cfg.num_hidden_layers)
+        head = get_speaker_model(configs["model"])(**model_args)
+        model = FrontendSpeakerModel(
+            frontend, head, frozen_frontend=frozen,
+            feed_all_hidden=feed_all,
+            normalize=dataset_args.get("cmvn", False))
+        n_mels = cfg.feature_projection_input_dim // 2
+
+        def featurize_train(batch, key):
+            feat, _ = w2vbert_features(batch["wav"], num_mel_bins=n_mels)
+            return feat
+
+        def featurize_eval(batch):
+            return w2vbert_features(batch["wav"], batch.get("mask"),
+                                    num_mel_bins=n_mels)
+
+        return BuiltModel(model, featurize_train, featurize_eval,
+                          cfg.feature_projection_input_dim, frontend_type)
+
     if frontend_type == "tfmel":
         # DSP frontend: the features replace fbank, the model is unchanged
         # (reference frontend/tfmel.py: normalization happens inside)

@@ -228,6 +228,13 @@ MODEL_RULES = {
     "whisper_PMFA": [
         (r"\bbn_norm\b", "bn.norm"),
     ],
+    "Wav2Vec2Bert": [
+        # HF transformers Wav2Vec2BertModel state_dict names
+        (r"\bfeature_projection_layer_norm\b", "feature_projection.layer_norm"),
+        (r"\bfeature_projection_projection\b", "feature_projection.projection"),
+        (r"\blayers_(\d+)\b", r"encoder.layers.\1"),
+        (r"\bdistance_embedding\.embedding\b", "distance_embedding.weight"),
+    ],
     "WavLM": [
         # HF transformers WavLMModel state_dict names; the pos-conv
         # weight_norm must be pre-folded with fold_wavlm_weight_norm
