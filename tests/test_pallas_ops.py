@@ -68,3 +68,59 @@ def test_fused_res2_module_matches_standard():
     want = np.asarray(std.apply(variables, x))
     got = np.asarray(fused.apply(variables, x))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_fused_res2_chain_bf16_close_to_f32():
+    """bf16 kernel path (one concatenated-tap matmul per step) must track
+    the exact fp32 kernel within bf16 tolerance."""
+    from wespeaker_tpu.ops.res2_pallas import fused_res2_chain
+
+    rng = np.random.default_rng(2)
+    b, t, c, scale = 3, 40, 64, 8
+    width = c // scale
+    nums = scale - 1
+    x = rng.normal(size=(b, t, c)).astype(np.float32)
+    kernels = (rng.normal(size=(nums, 3, width, width)) * 0.2).astype(
+        np.float32)
+    biases = rng.normal(size=(nums, width)).astype(np.float32) * 0.1
+    bn_scale = 1.0 + 0.1 * rng.normal(size=(nums, width)).astype(np.float32)
+    bn_shift = 0.1 * rng.normal(size=(nums, width)).astype(np.float32)
+
+    want = np.asarray(fused_res2_chain(
+        jnp.asarray(x), jnp.asarray(kernels), jnp.asarray(biases),
+        jnp.asarray(bn_scale), jnp.asarray(bn_shift), 2, interpret=True))
+    got = np.asarray(fused_res2_chain(
+        jnp.asarray(x, jnp.bfloat16), jnp.asarray(kernels, jnp.bfloat16),
+        jnp.asarray(biases), jnp.asarray(bn_scale), jnp.asarray(bn_shift),
+        2, interpret=True)).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=0.15, rtol=0.15)
+    # means should agree much tighter than per-element bf16 noise
+    assert abs(got.mean() - want.mean()) < 2e-3
+
+
+def test_fused_res2_kernel_matches_reference_chain():
+    """Direct kernel (interpret) vs the jnp fallback at an MXU-friendly
+    width — the shapes the guard routes to the kernel on TPU."""
+    from wespeaker_tpu.ops.res2_pallas import (fused_res2_chain, kernel_fits,
+                                               res2_chain_reference)
+
+    assert kernel_fits(200, 512, 8)
+    assert not kernel_fits(200, 64, 8)      # width 8: fallback
+    assert not kernel_fits(12000, 512, 8)   # long bucket: fallback
+
+    rng = np.random.default_rng(3)
+    b, t, c, scale = 2, 30, 512, 8
+    width = c // scale
+    nums = scale - 1
+    x = jnp.asarray(rng.normal(size=(b, t, c)).astype(np.float32))
+    kernels = jnp.asarray((rng.normal(size=(nums, 3, width, width)) * 0.1
+                           ).astype(np.float32))
+    biases = jnp.asarray(0.1 * rng.normal(size=(nums, width)
+                                          ).astype(np.float32))
+    s = jnp.asarray(1 + 0.1 * rng.normal(size=(nums, width)
+                                         ).astype(np.float32))
+    h = jnp.asarray(0.1 * rng.normal(size=(nums, width)).astype(np.float32))
+    want = np.asarray(res2_chain_reference(x, kernels, biases, s, h, 3))
+    got = np.asarray(fused_res2_chain(x, kernels, biases, s, h, 3,
+                                      interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)

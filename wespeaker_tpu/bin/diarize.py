@@ -25,7 +25,8 @@ def diarize(config, checkpoint_path, wav_scp, out_rttm, sad_rttm=None,
     import jax.numpy as jnp
 
     configs = parse_config_or_kwargs(config, overrides, **kwargs)
-    model, variables = load_model_for_eval(configs, checkpoint_path)
+    built, variables = load_model_for_eval(configs, checkpoint_path)
+    model = built.model
     feat_dim = configs["model_args"].get("feat_dim", 80)
     fbank_cfg = FbankConfig(num_mel_bins=feat_dim, dither=0.0)
     fwd = jax.jit(lambda feats: model.apply(variables, feats, train=False))

@@ -25,7 +25,8 @@ def export_stablehlo(config, checkpoint_path, out_path, mean_vec_path=None,
     from jax import export as jexport
 
     configs = parse_config_or_kwargs(config, overrides, **kwargs)
-    model, variables = load_model_for_eval(configs, checkpoint_path)
+    built, variables = load_model_for_eval(configs, checkpoint_path)
+    model = built.model
     feat_dim = configs["model_args"].get("feat_dim", 80)
     mean_vec = (jnp.asarray(np.load(mean_vec_path))
                 if mean_vec_path else None)

@@ -121,7 +121,9 @@ class FusedRes2Conv1dReluBn(nn.Module):
         assert not train, "fused Res2 path is inference-only"
         import jax as _jax
 
-        from wespeaker_tpu.ops.res2_pallas import fused_res2_chain
+        from wespeaker_tpu.ops.res2_pallas import (fused_res2_chain,
+                                                   kernel_fits,
+                                                   res2_chain_reference)
 
         width = self.channels // self.scale
         nums = self.scale - 1
@@ -135,10 +137,13 @@ class FusedRes2Conv1dReluBn(nn.Module):
             biases.append(b)
             scales.append(s)
             shifts.append(beta - mean * s)
+        args = (x, jnp.stack(kernels), jnp.stack(biases), jnp.stack(scales),
+                jnp.stack(shifts), self.dilation)
+        if not kernel_fits(x.shape[1], self.channels, self.scale,
+                           x.dtype.itemsize):
+            return res2_chain_reference(*args)
         interpret = _jax.devices()[0].platform != "tpu"
-        return fused_res2_chain(
-            x, jnp.stack(kernels), jnp.stack(biases), jnp.stack(scales),
-            jnp.stack(shifts), self.dilation, interpret=interpret)
+        return fused_res2_chain(*args, interpret=interpret)
 
 
 class SE_Connect(nn.Module):

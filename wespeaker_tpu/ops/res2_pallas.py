@@ -4,8 +4,15 @@ The Res2Conv1dReluBn block (wespeaker/models/ecapa_tdnn.py:29-78) is a
 sequential chain of 7 width-64 dilated convs + relu + BN: XLA executes it as
 21 small matmuls with an HBM round trip per step. This kernel holds the
 whole (BLOCK_B, T, C) tile in VMEM and runs the chain start-to-finish —
-one HBM read and one write of the activation. Measured bit-exact vs the
-XLA reference and ~2.1x faster on v5e (512x200x512, fp32).
+one HBM read and one write of the activation.
+
+Two compute paths, selected by x.dtype:
+- float32: three per-tap matmuls, bit-exact vs the XLA fp32 reference
+  (~2.1x faster standalone at 512x200x512 on v5e).
+- bfloat16: the three taps are concatenated into one (T, 3*width) operand
+  and hit the MXU as a single K=3*width matmul with f32 accumulation; the
+  BN affine stays f32 and the activation is carried in bf16. This is the
+  path the bf16 inference model uses.
 
 Inference-only (BN folded into an affine); training uses the standard flax
 path.
@@ -21,28 +28,88 @@ from jax.experimental.pallas import tpu as pltpu
 BLOCK_B = 8
 
 
-def _chain_kernel(x_ref, w_ref, b_ref, s_ref, h_ref, o_ref, *, nums: int,
-                  width: int, dilation: int, t: int):
+def _tap(sp, off, t):
+    """Shift (B, T, W) by `off` frames along T, zero-padded (SAME conv).
+    Slices keep static starts or stop == t so the math also traces under
+    jax.export symbolic time dims (t - off would be inconclusive)."""
+    if off == 0:
+        return sp
+    zeros = jnp.zeros(sp.shape[:1] + (abs(off),) + sp.shape[2:], sp.dtype)
+    if off < 0:
+        return jnp.concatenate([zeros, sp], axis=1)[:, :t]
+    return jnp.concatenate([sp, zeros], axis=1)[:, abs(off):]
+
+
+def _chain_kernel_f32(x_ref, w_ref, b_ref, s_ref, h_ref, o_ref, *, nums: int,
+                      width: int, dilation: int, t: int):
     x = x_ref[...]
-
-    def tap(sp, k):
-        off = (k - 1) * dilation
-        if off == 0:
-            return sp
-        zeros = jnp.zeros_like(sp[:, :abs(off)])
-        if off < 0:
-            return jnp.concatenate([zeros, sp[:, :t + off]], axis=1)
-        return jnp.concatenate([sp[:, off:], zeros], axis=1)
-
     sp = x[..., 0:width]
     for i in range(nums):
         if i >= 1:
             sp = sp + x[..., i * width:(i + 1) * width]
-        acc = (tap(sp, 0) @ w_ref[i, 0] + tap(sp, 1) @ w_ref[i, 1]
-               + tap(sp, 2) @ w_ref[i, 2]) + b_ref[i, 0]
+        acc = (_tap(sp, -dilation, t) @ w_ref[i, 0]
+               + sp @ w_ref[i, 1]
+               + _tap(sp, dilation, t) @ w_ref[i, 2]) + b_ref[i, 0]
         sp = jnp.maximum(acc, 0.0) * s_ref[i, 0] + h_ref[i, 0]
         o_ref[..., i * width:(i + 1) * width] = sp
     o_ref[..., nums * width:] = x[..., nums * width:]
+
+
+def _chain_kernel_bf16(x_ref, w_ref, b_ref, s_ref, h_ref, o_ref, *,
+                       nums: int, width: int, dilation: int, t: int):
+    """bf16 activations/weights, f32 accumulate + affine. Each step is one
+    (B, T, 3W) @ (3W, W) MXU matmul over the concatenated taps."""
+    x = x_ref[...]
+    sp = x[..., 0:width]
+    for i in range(nums):
+        if i >= 1:
+            sp = sp + x[..., i * width:(i + 1) * width]
+        dn = (((2,), (0,)), ((), ()))
+        acc = (jax.lax.dot_general(_tap(sp, -dilation, t), w_ref[i, 0], dn,
+                                   preferred_element_type=jnp.float32)
+               + jax.lax.dot_general(sp, w_ref[i, 1], dn,
+                                     preferred_element_type=jnp.float32)
+               + jax.lax.dot_general(_tap(sp, dilation, t), w_ref[i, 2], dn,
+                                     preferred_element_type=jnp.float32)
+               ) + b_ref[i, 0]
+        spf = jnp.maximum(acc, 0.0) * s_ref[i, 0] + h_ref[i, 0]
+        sp = spf.astype(jnp.bfloat16)
+        o_ref[..., i * width:(i + 1) * width] = sp
+    o_ref[..., nums * width:] = x[..., nums * width:]
+
+
+def res2_chain_reference(x, kernels, biases, bn_scale, bn_shift,
+                         dilation: int):
+    """Plain-jnp folded-BN Res2 chain with the same argument contract as
+    fused_res2_chain — the fallback when shapes don't suit the kernel."""
+    b, t, c = x.shape
+    nums, _, width, _ = kernels.shape
+    sp = x[..., 0:width]
+    outs = []
+    for i in range(nums):
+        if i >= 1:
+            sp = sp + x[..., i * width:(i + 1) * width]
+        acc = (_tap(sp, -dilation, t) @ kernels[i, 0].astype(sp.dtype)
+               + sp @ kernels[i, 1].astype(sp.dtype)
+               + _tap(sp, dilation, t) @ kernels[i, 2].astype(sp.dtype))
+        acc = acc.astype(jnp.float32) + biases[i]
+        spf = (jnp.maximum(acc, 0.0) * bn_scale[i] + bn_shift[i])
+        sp = spf.astype(x.dtype)
+        outs.append(sp)
+    outs.append(x[..., nums * width:])
+    return jnp.concatenate(outs, axis=-1)
+
+
+def kernel_fits(t: int, c: int, scale: int, itemsize: int = 4) -> bool:
+    """The chain kernel keeps one (BLOCK_B, T, C) tile plus per-step
+    temporaries resident in VMEM and wants the group width on full MXU
+    lanes; outside that envelope the jnp fallback wins. Symbolic t (from
+    jax.export) always routes to the fallback."""
+    if not isinstance(t, int):
+        return False
+    width = c // scale
+    tile = BLOCK_B * t * c * itemsize
+    return width >= 64 and tile * 4 <= 48 * 1024 * 1024
 
 
 @functools.partial(jax.jit,
@@ -52,7 +119,9 @@ def fused_res2_chain(x, kernels, biases, bn_scale, bn_shift, dilation: int,
     """x: (B, T, C); kernels: (nums, 3, width, width) tap-major
     [t-d, t, t+d]; biases/bn_scale/bn_shift: (nums, width). Returns
     concat([chain outputs, passthrough group]) like Res2Conv1dReluBn with
-    eval-mode BN folded into (scale, shift)."""
+    eval-mode BN folded into (scale, shift). Compute path follows x.dtype:
+    fp32 is bit-exact vs the XLA chain; bf16 runs one fused MXU matmul per
+    step with f32 accumulation."""
     b0, t, c = x.shape
     nums, k, width, _ = kernels.shape
     assert k == 3 and nums * width + width == c, (kernels.shape, c)
@@ -60,9 +129,13 @@ def fused_res2_chain(x, kernels, biases, bn_scale, bn_shift, dilation: int,
     xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
     b = b0 + pad
 
-    dtype = jnp.float32
+    bf16 = x.dtype == jnp.bfloat16
+    io_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    kernel_fn = _chain_kernel_bf16 if bf16 else _chain_kernel_f32
+    w = kernels.astype(io_dtype)
+
     out = pl.pallas_call(
-        functools.partial(_chain_kernel, nums=nums, width=width,
+        functools.partial(kernel_fn, nums=nums, width=width,
                           dilation=dilation, t=t),
         grid=(b // BLOCK_B,),
         in_specs=[
@@ -75,10 +148,10 @@ def fused_res2_chain(x, kernels, biases, bn_scale, bn_shift, dilation: int,
         ],
         out_specs=pl.BlockSpec((BLOCK_B, t, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, t, c), dtype),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), io_dtype),
         interpret=interpret,
-    )(xp.astype(dtype), kernels.astype(dtype),
-      biases.reshape(nums, 1, 1, width).astype(dtype),
-      bn_scale.reshape(nums, 1, 1, width).astype(dtype),
-      bn_shift.reshape(nums, 1, 1, width).astype(dtype))
+    )(xp.astype(io_dtype), w,
+      biases.reshape(nums, 1, 1, width).astype(jnp.float32),
+      bn_scale.reshape(nums, 1, 1, width).astype(jnp.float32),
+      bn_shift.reshape(nums, 1, 1, width).astype(jnp.float32))
     return out[:b0].astype(x.dtype)
