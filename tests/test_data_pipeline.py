@@ -133,3 +133,42 @@ def test_whole_utt_eval_mode(corpus):
     batches = list(ds.batches(1, max_epochs=1))
     assert len(batches) == 12
     assert batches[0]["wav"].shape == (1, 48000)  # whole 3s utterance
+
+
+def test_worker_striding_partitions(corpus):
+    """Workers see disjoint stripes of the rank shard that union to the
+    full epoch (reference dataset.py:94-100)."""
+    full = SpeakerDataset("raw", corpus["raw_list"],
+                          {**CFG, "shuffle": False, "speed_perturb": False,
+                           "aug_prob": 0.0},
+                          corpus["spk2id"], repeat=False)
+    want = sorted(k for b in full.batches(1, max_epochs=1)
+                  for k in b["key"])
+    got = []
+    for w in range(3):
+        ds = SpeakerDataset("raw", corpus["raw_list"],
+                            {**CFG, "shuffle": False,
+                             "speed_perturb": False, "aug_prob": 0.0},
+                            corpus["spk2id"], repeat=False,
+                            worker_id=w, num_workers=3)
+        got += [k for b in ds.batches(1, max_epochs=1) for k in b["key"]]
+    assert sorted(got) == want
+
+
+def test_mp_prefetcher_matches_single_process(corpus):
+    from wespeaker_tpu.data.dataset import MPPrefetcher
+
+    cfg = {**CFG, "shuffle": False, "speed_perturb": False, "aug_prob": 0.0}
+    ds_args = ("raw", corpus["raw_list"], cfg, corpus["spk2id"])
+    ds_kwargs = dict(repeat=False)
+    single = SpeakerDataset(*ds_args, **ds_kwargs)
+    want = sorted(k for b in single.batches(2, max_epochs=1)
+                  for k in b["key"])
+    pf = MPPrefetcher(ds_args, ds_kwargs, batch_size=2, num_workers=2,
+                      max_epochs=1)
+    batches = list(pf)
+    got = sorted(k for b in batches for k in b["key"])
+    assert got == want
+    for b in batches:
+        assert b["wav"].shape == (2, 32240)
+        assert b["wav"].dtype == np.float32

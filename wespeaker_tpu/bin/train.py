@@ -19,7 +19,8 @@ import time
 import jax
 import jax.numpy as jnp
 
-from wespeaker_tpu.data.dataset import Prefetcher, SpeakerDataset
+from wespeaker_tpu.data.dataset import (MPPrefetcher, Prefetcher,
+                                        SpeakerDataset)
 from wespeaker_tpu.data.pipeline import spk2id_from_utt2spk
 from wespeaker_tpu.frontend import FbankConfig
 from wespeaker_tpu.models.projections import get_projection
@@ -87,11 +88,13 @@ def train(config: str, overrides=None, **kwargs):
                                  if "spk2id" in configs
                                  else configs["utt2spk"])
     dataset_args = configs["dataset_args"]
-    dataset = SpeakerDataset(
-        configs["data_type"], configs["train_data"], dataset_args, spk2id,
-        reverb_store_prefix=configs.get("reverb_data"),
-        noise_store_prefix=configs.get("noise_data"),
-        rank=rank, world_size=world, seed=configs.get("seed", 42))
+    ds_args = (configs["data_type"], configs["train_data"], dataset_args,
+               spk2id)
+    ds_kwargs = dict(reverb_store_prefix=configs.get("reverb_data"),
+                     noise_store_prefix=configs.get("noise_data"),
+                     rank=rank, world_size=world,
+                     seed=configs.get("seed", 42))
+    dataset = SpeakerDataset(*ds_args, **ds_kwargs)
     num_class = dataset.num_classes()
     logger.info(f"speakers: {len(spk2id)} classes: {num_class} "
                 f"devices: {n_dev} hosts: {world}")
@@ -191,7 +194,14 @@ def train(config: str, overrides=None, **kwargs):
                                                            "config.yaml"))
 
     log_interval = configs.get("log_batch_interval", 100)
-    batches = iter(Prefetcher(dataset.batches(global_batch)))
+    num_workers = configs.get("dataloader_args", {}).get("num_workers", 0)
+    if num_workers > 0:
+        prefetch = MPPrefetcher(
+            ds_args, ds_kwargs, global_batch, num_workers=num_workers,
+            depth=configs.get("dataloader_args", {}).get("prefetch", 4))
+    else:
+        prefetch = Prefetcher(dataset.batches(global_batch))
+    batches = iter(prefetch)
     for epoch in range(start_epoch, num_epochs):
         t0 = time.time()
         for it in range(epoch_iter):
@@ -217,6 +227,8 @@ def train(config: str, overrides=None, **kwargs):
                  "projection": state.params["projection"]})
             ckpt.save_checkpoint(
                 os.path.join(model_dir, f"model_{epoch}.ckpt"), variables)
+    if hasattr(prefetch, "close"):
+        prefetch.close()
     return state
 
 

@@ -24,7 +24,8 @@ class SpeakerDataset:
                  spk2id: Dict[str, int], reverb_store_prefix: str = None,
                  noise_store_prefix: str = None, train: bool = True,
                  rank: int = 0, world_size: int = 1, seed: int = 42,
-                 repeat: bool = True):
+                 repeat: bool = True, worker_id: int = 0,
+                 num_workers: int = 1):
         assert data_type in ("shard", "raw", "feat")
         self.data_type = data_type
         self.lists = P.read_lists(data_list_file)
@@ -35,6 +36,8 @@ class SpeakerDataset:
         self.world_size = world_size
         self.seed = seed
         self.repeat = repeat
+        self.worker_id = worker_id
+        self.num_workers = num_workers
         self.reverb = (PackedAudioStore(reverb_store_prefix)
                        if reverb_store_prefix else None)
         self.noise = (PackedAudioStore(noise_store_prefix)
@@ -42,11 +45,15 @@ class SpeakerDataset:
 
     def _epoch_iter(self, epoch: int) -> Iterator[dict]:
         cfg = self.configs
-        rng = np.random.default_rng(self.seed + 1000 * epoch + self.rank)
+        rng = np.random.default_rng(self.seed + 1000 * epoch + self.rank
+                                    + 7919 * self.worker_id)
         lists = P.distributed_shard(self.lists, epoch=epoch,
                                     shuffle=cfg.get("shuffle", self.train),
                                     seed=self.seed, rank=self.rank,
                                     world_size=self.world_size)
+        if self.num_workers > 1:
+            # worker striding on top of the rank stripe (dataset.py:94-100)
+            lists = lists[self.worker_id::self.num_workers]
         feat_mode = self.data_type == "feat"
         if self.data_type == "shard":
             data = P.parse_shard(lists)
@@ -141,6 +148,67 @@ def eval_batches(utt_wavs, batch_size: int = 8, quantum_samples: int = 16000,
             mask[j, :len(wav)] = 1.0
             keys.append(key)
         yield {"wav": wavs, "mask": mask, "key": keys}
+
+
+def _mp_worker(q, ds_args, ds_kwargs, batch_size, max_epochs):
+    """Spawned worker: runs the numpy pipeline on its list stripe and ships
+    finished batches. Imports stay JAX-free (data/ modules are numpy-only),
+    so workers never touch the device or its compiler."""
+    try:
+        ds = SpeakerDataset(*ds_args, **ds_kwargs)
+        for b in ds.batches(batch_size, max_epochs):
+            q.put(("batch", b))
+    except BaseException:
+        import traceback
+        q.put(("error", traceback.format_exc()))
+    q.put(("done", None))
+
+
+class MPPrefetcher:
+    """Multiprocess batch prefetch: N spawned workers each run the full host
+    pipeline (parse -> resample -> speed-perturb -> chunk -> reverb/noise)
+    on worker stripe `lists[worker_id::num_workers]` of the rank's shard —
+    the reference's DataLoader-worker striding (dataset.py:94-100). Workers
+    emit whole fixed-shape batches; arrival order across workers is
+    unordered, which is fine for shuffled training.
+
+    Construct with the SpeakerDataset constructor args rather than a live
+    dataset so each worker builds its own stores/file handles."""
+
+    def __init__(self, ds_args, ds_kwargs, batch_size, num_workers: int = 4,
+                 depth: int = 4, max_epochs=None):
+        import multiprocessing as mp
+        ctx = mp.get_context("spawn")
+        self.q = ctx.Queue(maxsize=max(2, depth) * num_workers)
+        self.procs = []
+        for w in range(num_workers):
+            kw = dict(ds_kwargs, worker_id=w, num_workers=num_workers)
+            p = ctx.Process(target=_mp_worker,
+                            args=(self.q, ds_args, kw, batch_size,
+                                  max_epochs),
+                            daemon=True)
+            p.start()
+            self.procs.append(p)
+
+    def __iter__(self):
+        live = len(self.procs)
+        while live:
+            kind, payload = self.q.get()
+            if kind == "done":
+                live -= 1
+            elif kind == "error":
+                self.close()
+                raise RuntimeError(f"data worker failed:\n{payload}")
+            else:
+                yield payload
+        self.close()
+
+    def close(self):
+        for p in self.procs:
+            if p.is_alive():
+                p.terminate()
+        for p in self.procs:
+            p.join(timeout=5)
 
 
 class Prefetcher:
