@@ -121,3 +121,27 @@ def test_streaming_feature_pipeline(lib):
     np.testing.assert_allclose(frames, one_shot, atol=1e-4)
     # drained + finished -> short read
     assert pipe.read(5).shape[0] == 0
+
+
+def test_asv_main_binary(lib, tmp_path):
+    """enroll/test wav -> score + ACCEPT/REJECT (reference asv_main.cc)."""
+    import os
+
+    from wespeaker_tpu.data.wav_io import write_wav
+
+    rng = np.random.default_rng(4)
+    a = rng.uniform(-0.5, 0.5, 32000).astype(np.float32)
+    write_wav(tmp_path / "a.wav", a, 16000)
+    write_wav(tmp_path / "b.wav", rng.uniform(-0.5, 0.5, 32000)
+              .astype(np.float32), 16000)
+    binary = os.path.join(lib.BUILD_DIR, "asv_main")
+    # same wav: score ~1.0 -> ACCEPT (exit 0)
+    r = subprocess.run([binary, str(tmp_path / "a.wav"),
+                        str(tmp_path / "a.wav"), "0.9", "40"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0 and "ACCEPT" in r.stdout, r.stdout
+    # impossible threshold -> REJECT (exit 2)
+    r = subprocess.run([binary, str(tmp_path / "a.wav"),
+                        str(tmp_path / "b.wav"), "1.1", "40"],
+                       capture_output=True, text=True)
+    assert r.returncode == 2 and "REJECT" in r.stdout, r.stdout

@@ -22,9 +22,12 @@ _EMBED_CB = ctypes.CFUNCTYPE(None, ctypes.POINTER(ctypes.c_float),
                              ctypes.c_int, ctypes.c_int,
                              ctypes.POINTER(ctypes.c_float), ctypes.c_void_p)
 
+BINARIES = ("extract_emb_main", "asv_main")
+
 
 def build_runtime(force: bool = False) -> str:
-    if os.path.exists(LIB_PATH) and not force:
+    built = [LIB_PATH] + [os.path.join(BUILD_DIR, b) for b in BINARIES]
+    if all(os.path.exists(p) for p in built) and not force:
         return LIB_PATH
     os.makedirs(BUILD_DIR, exist_ok=True)
     gen = []
