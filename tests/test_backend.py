@@ -201,3 +201,15 @@ def test_embedding_processing_chain():
     # mean-subtracted input must be ~0 through the first link only
     ms = chain.links[0]
     np.testing.assert_allclose(ms(allv).mean(0), 0.0, atol=1e-9)
+
+
+def test_eer_perfect_separation():
+    """Degenerate score files (no EER crossing) must not crash
+    (all targets above all nontargets -> EER 0)."""
+    from wespeaker_tpu.backend.metrics import compute_metrics
+
+    scores = np.asarray([0.9, 0.8, 0.7, 0.2, 0.1], np.float32)
+    labels = np.asarray([1, 1, 1, 0, 0])
+    eer_pct, _thr, mdcf = compute_metrics(scores, labels)
+    assert eer_pct == 0.0
+    assert mdcf >= 0.0

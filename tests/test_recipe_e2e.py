@@ -162,3 +162,64 @@ def test_full_recipe(tmp_path):
                                        str(tmp_path / "plda.score"),
                                        plda_model)
     metrics_for_file(plda_scores)
+
+
+def test_sre_v3_embd_proc_chain_stages(tmp_path):
+    """examples/sre/v3/run.sh stages 5-8 on synthetic embeddings: estimate
+    a mean-subtract|length-norm|lda|length-norm chain, apply via the CLI
+    module, then PLDA train/adapt/eval on the processed vectors."""
+    from wespeaker_tpu.bin import embd_proc
+    from wespeaker_tpu.utils.kaldi_io import (read_vec_scp_dict,
+                                              write_vec_ark_scp)
+
+    rng = np.random.default_rng(0)
+    dim, n_spk, n_utt = 32, 8, 12
+    centers = rng.normal(size=(n_spk, dim)) * 3
+    items, utt2spk_lines = [], []
+    for s in range(n_spk):
+        for u in range(n_utt):
+            key = f"s{s}_u{u}"
+            items.append((key, (centers[s] + rng.normal(size=dim))
+                          .astype(np.float32)))
+            utt2spk_lines.append(f"{key} s{s}")
+    train_prefix = str(tmp_path / "train")
+    write_vec_ark_scp(train_prefix, items)
+    utt2spk = tmp_path / "utt2spk"
+    utt2spk.write_text("\n".join(utt2spk_lines) + "\n")
+
+    chain = (f"mean-subtract --scp {train_prefix}.scp | length-norm | "
+             f"lda --scp {train_prefix}.scp --utt2spk {utt2spk} --dim 16 | "
+             "length-norm")
+    proc_pkl = str(tmp_path / "proc.pkl")
+    embd_proc.prep(chain, proc_pkl)
+    embd_proc.apply(proc_pkl, f"{train_prefix}.scp",
+                    str(tmp_path / "train_proc"))
+    proc = read_vec_scp_dict(str(tmp_path / "train_proc.scp"))
+    assert len(proc) == n_spk * n_utt
+    first = next(iter(proc.values()))
+    assert first.shape == (16,)
+    np.testing.assert_allclose(np.linalg.norm(first), 1.0, rtol=1e-5)
+
+    plda_model = str(tmp_path / "plda.h5")
+    plda_tools.train_plda(str(tmp_path / "train_proc.scp"), str(utt2spk),
+                          plda_model, embed_dim=16, num_iters=5)
+    plda_tools.adapt_plda(plda_model, str(tmp_path / "train_proc.scp"),
+                          str(tmp_path / "plda_adapt.h5"))
+
+    utt2utt = tmp_path / "utt2utt"
+    utt2utt.write_text("\n".join(f"{k} {k}" for k, _ in items) + "\n")
+    trials = tmp_path / "trials"
+    lines = []
+    keys = [k for k, _ in items]
+    for i in range(0, len(keys) - 1, 7):
+        a, b = keys[i], keys[i + 1]
+        lab = ("target" if a.split("_")[0] == b.split("_")[0]
+               else "nontarget")
+        lines.append(f"{a} {b} {lab}")
+    trials.write_text("\n".join(lines) + "\n")
+    scores = plda_tools.eval_plda(
+        str(tmp_path / "train_proc.scp"), str(utt2utt),
+        str(tmp_path / "train_proc.scp"), str(trials),
+        str(tmp_path / "plda_adapt.score"), str(tmp_path / "plda_adapt.h5"))
+    with open(scores) as f:
+        assert len(f.readlines()) == len(lines)

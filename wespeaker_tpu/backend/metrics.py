@@ -28,10 +28,19 @@ def pmiss_pfa(scores: np.ndarray, labels: np.ndarray,
 
 def eer(fnr: np.ndarray, fpr: np.ndarray,
         scores: Optional[np.ndarray] = None):
-    """Interpolated equal error rate; optionally also the threshold."""
+    """Interpolated equal error rate; optionally also the threshold.
+    Perfectly-separated scores (fnr-fpr never changes sign) yield EER 0."""
     diff = fnr - fpr
-    x1 = np.flatnonzero(diff >= 0)[0]
-    x2 = np.flatnonzero(diff < 0)[-1]
+    above = np.flatnonzero(diff >= 0)
+    below = np.flatnonzero(diff < 0)
+    if len(above) == 0 or len(below) == 0:
+        x = above[0] if len(above) else below[-1]
+        value = 0.0
+        if scores is not None:
+            return value, np.sort(np.asarray(scores))[x]
+        return value
+    x1 = above[0]
+    x2 = below[-1]
     a = (fnr[x1] - fpr[x1]) / (fpr[x2] - fpr[x1] - (fnr[x2] - fnr[x1]))
     value = fnr[x1] + a * (fnr[x2] - fnr[x1])
     if scores is not None:
