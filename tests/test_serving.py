@@ -1,0 +1,105 @@
+"""Serving daemon tests: dynamic batching correctness + HTTP surface.
+
+Role parity target: runtime/server (Triton ensemble) — here the collator
+must produce embeddings identical to the direct masked-eval path for
+concurrent, different-length requests.
+"""
+
+import concurrent.futures
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from wespeaker_tpu.frontend import FbankConfig
+from wespeaker_tpu.models.ecapa_tdnn import ECAPA_TDNN
+from wespeaker_tpu.serving import DynamicBatcher, EmbeddingServer
+from wespeaker_tpu.train import make_eval_embed_fn
+
+
+@pytest.fixture(scope="module")
+def embed_setup():
+    model = ECAPA_TDNN(channels=32, feat_dim=40, embed_dim=32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 40)),
+                           train=False)
+    fn = jax.jit(make_eval_embed_fn(model, FbankConfig(num_mel_bins=40,
+                                                       dither=0.0)))
+
+    def embed(wavs, mask):
+        return fn(variables, {"wav": wavs, "mask": mask})
+
+    return embed
+
+
+def test_batcher_matches_direct(embed_setup):
+    """Concurrent different-length requests through the batcher must equal
+    the single-utterance masked path."""
+    batcher = DynamicBatcher(embed_setup, max_batch=8, max_wait_ms=30,
+                             quantum_samples=8000)
+    rng = np.random.default_rng(0)
+    wavs = [rng.uniform(-0.5, 0.5, n).astype(np.float32)
+            for n in (12000, 17000, 23000, 31000)]
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        got = list(ex.map(batcher.embed, wavs))
+    batcher.close()
+
+    for wav, emb in zip(wavs, got):
+        padded = -(-len(wav) // 8000) * 8000
+        w = np.zeros((1, padded), np.float32)
+        m = np.zeros((1, padded), np.float32)
+        w[0, :len(wav)] = wav
+        m[0, :len(wav)] = 1.0
+        want = np.asarray(embed_setup(w, m))[0]
+        cos = np.dot(emb, want) / (np.linalg.norm(emb)
+                                   * np.linalg.norm(want))
+        assert cos > 0.9999, cos
+
+
+def test_http_endpoints(embed_setup, tmp_path):
+    from wespeaker_tpu.data.wav_io import write_wav
+
+    server = EmbeddingServer({}, "", port=0, embed_fn=embed_setup,
+                             max_wait_ms=2).start()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        with urllib.request.urlopen(f"{base}/health") as r:
+            assert json.load(r)["status"] == "ok"
+
+        rng = np.random.default_rng(1)
+        wav = rng.uniform(-0.5, 0.5, 16000).astype(np.float32)
+        # JSON body
+        req = urllib.request.Request(
+            f"{base}/embed",
+            data=json.dumps({"wav": wav.tolist(),
+                             "sample_rate": 16000}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            emb_json = np.asarray(json.load(r)["embedding"])
+        assert emb_json.shape == (32,)
+
+        # RIFF wav body -> same embedding (up to PCM16 quantization)
+        write_wav(tmp_path / "a.wav", wav, 16000)
+        req = urllib.request.Request(
+            f"{base}/embed", data=(tmp_path / "a.wav").read_bytes(),
+            headers={"Content-Type": "audio/wav"})
+        with urllib.request.urlopen(req) as r:
+            emb_wav = np.asarray(json.load(r)["embedding"])
+        cos = np.dot(emb_json, emb_wav) / (
+            np.linalg.norm(emb_json) * np.linalg.norm(emb_wav))
+        assert cos > 0.999
+
+        # similarity of an utterance with itself ~ 1.0 (engine scale [0,1])
+        req = urllib.request.Request(
+            f"{base}/similarity",
+            data=json.dumps({"wav1": wav.tolist(),
+                             "wav2": wav.tolist()}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            assert json.load(r)["similarity"] == pytest.approx(1.0,
+                                                               abs=1e-4)
+    finally:
+        server.close()

@@ -149,15 +149,21 @@ def spk_to_id(data, spk2id: Dict[str, int]):
             yield sample
 
 
-def resample(data, target_rate: int = 16000):
+def resample_array(wav: np.ndarray, sr: int,
+                   target_rate: int = 16000) -> np.ndarray:
     from scipy.signal import resample_poly
 
+    if sr == target_rate:
+        return wav
+    g = int(np.gcd(sr, target_rate))
+    return resample_poly(wav, target_rate // g, sr // g).astype(np.float32)
+
+
+def resample(data, target_rate: int = 16000):
     for sample in data:
         sr = sample.get("sample_rate", target_rate)
         if sr != target_rate:
-            g = int(np.gcd(sr, target_rate))
-            sample["wav"] = resample_poly(sample["wav"], target_rate // g,
-                                          sr // g).astype(np.float32)
+            sample["wav"] = resample_array(sample["wav"], sr, target_rate)
             sample["sample_rate"] = target_rate
         yield sample
 

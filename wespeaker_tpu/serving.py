@@ -1,0 +1,227 @@
+"""TPU embedding-serving daemon: HTTP + dynamic batching.
+
+Role parity: runtime/server (Triton ensemble feature_extractor ->
+speaker_model, runtime/server/x86_gpu/model_repo/*) — re-designed for TPU:
+one process owns the chip; concurrent requests are gathered by a collator
+thread into padded static-shape batches (batch rounded to a power of two,
+length to a sample quantum, masked pooling for the padding) so the jitted
+wav->fbank->model path recompiles only O(log max_batch * max_len/quantum)
+times, then stays cached.
+
+Endpoints:
+  GET  /health              -> {"status": "ok"}
+  POST /embed               -> {"embedding": [...]} ; body is a RIFF wav
+                               (Content-Type audio/wav) or JSON
+                               {"wav": [...float], "sample_rate": 16000}
+  POST /similarity          -> {"similarity": s} ; JSON {"wav1": .., "wav2"}
+                               cosine normalized to [0, 1] like the C++
+                               engine (speaker_engine.h CosineSimilarity)
+"""
+
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+
+class DynamicBatcher:
+    """Collate concurrent embed requests into padded device batches.
+
+    embed_fn(wavs (B, L) f32, mask (B, L) f32) -> (B, D) f32 must accept
+    any (power-of-two B, quantum-multiple L) shape; results are compiled
+    per distinct shape and cached by jit."""
+
+    def __init__(self, embed_fn, max_batch: int = 16, max_wait_ms: float = 5,
+                 quantum_samples: int = 16000,
+                 max_samples: int = 16000 * 120):
+        self.embed_fn = embed_fn
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1e3
+        self.quantum = quantum_samples
+        self.max_samples = max_samples
+        self.q: "queue.Queue" = queue.Queue()
+        self._stop = False
+        self.thread = threading.Thread(target=self._worker, daemon=True)
+        self.thread.start()
+
+    def embed(self, wav: np.ndarray) -> np.ndarray:
+        """Blocking: enqueue one utterance, wait for its embedding."""
+        done = threading.Event()
+        slot = {}
+        self.q.put((np.asarray(wav, np.float32), slot, done))
+        done.wait()
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot["embedding"]
+
+    def close(self):
+        self._stop = True
+        self.q.put(None)
+        self.thread.join(timeout=5)
+
+    def _drain_group(self, first):
+        group = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(group) < self.max_batch:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                item = self.q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if item is None:
+                break
+            group.append(item)
+        return group
+
+    def _worker(self):
+        while not self._stop:
+            item = self.q.get()
+            if item is None:
+                if self._stop:
+                    return
+                continue
+            group = self._drain_group(item)
+            try:
+                self._run(group)
+            except BaseException as e:  # report to all waiters
+                for _, slot, done in group:
+                    slot["error"] = repr(e)
+                    done.set()
+
+    def _run(self, group):
+        b = 1
+        while b < len(group):
+            b *= 2
+        longest = min(max(len(w) for w, _, _ in group), self.max_samples)
+        padded_len = max(1, -(-longest // self.quantum)) * self.quantum
+        wavs = np.zeros((b, padded_len), np.float32)
+        mask = np.zeros((b, padded_len), np.float32)
+        for i, (w, _, _) in enumerate(group):
+            w = w[:padded_len]
+            wavs[i, :len(w)] = w
+            mask[i, :len(w)] = 1.0
+        mask[len(group):, :self.quantum] = 1.0  # keep pad rows finite
+        out = np.asarray(self.embed_fn(wavs, mask))
+        for i, (_, slot, done) in enumerate(group):
+            slot["embedding"] = out[i]
+            done.set()
+
+
+def build_embed_fn(configs: dict, checkpoint_path: str):
+    """config + checkpoint -> jitted (wavs, mask) -> embeddings."""
+    import jax
+
+    from wespeaker_tpu.bin.extract import load_model_for_eval
+    from wespeaker_tpu.frontend import FbankConfig
+    from wespeaker_tpu.train import make_eval_embed_fn
+
+    built, variables = load_model_for_eval(configs, checkpoint_path)
+    fbank_args = configs.get("dataset_args", {}).get("fbank_args", {})
+    fbank_cfg = FbankConfig(
+        num_mel_bins=fbank_args.get(
+            "num_mel_bins", configs["model_args"].get("feat_dim", 80)),
+        dither=0.0)
+    fn = jax.jit(make_eval_embed_fn(built.model, fbank_cfg,
+                                    featurize_fn=built.featurize_eval))
+
+    def embed(wavs, mask):
+        return fn(variables, {"wav": wavs, "mask": mask})
+
+    return embed
+
+
+def _decode_wav_body(body: bytes, content_type: str):
+    from wespeaker_tpu.data.wav_io import read_wav
+    if content_type.startswith("audio/"):
+        wav, sr = read_wav(bytes(body))
+        if wav.ndim > 1:
+            wav = wav[0]
+        return wav, sr
+    obj = json.loads(body)
+    return (np.asarray(obj["wav"], np.float32),
+            int(obj.get("sample_rate", 16000)))
+
+
+def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
+                port: int = 8086, resample_rate: int = 16000):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _reply(self, code, obj):
+            payload = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._reply(200, {"status": "ok"})
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                ctype = self.headers.get("Content-Type", "application/json")
+                if self.path == "/embed":
+                    wav, sr = _decode_wav_body(body, ctype)
+                    if sr != resample_rate:
+                        from wespeaker_tpu.data.pipeline import \
+                            resample_array
+                        wav = resample_array(wav, sr, resample_rate)
+                    emb = batcher.embed(wav)
+                    self._reply(200, {"embedding": emb.tolist()})
+                elif self.path == "/similarity":
+                    obj = json.loads(body)
+                    e1 = batcher.embed(np.asarray(obj["wav1"], np.float32))
+                    e2 = batcher.embed(np.asarray(obj["wav2"], np.float32))
+                    cos = float(np.dot(e1, e2)
+                                / (np.linalg.norm(e1) * np.linalg.norm(e2)
+                                   + 1e-12))
+                    self._reply(200, {"similarity": (cos + 1.0) / 2.0})
+                else:
+                    self._reply(404, {"error": "not found"})
+            except BrokenPipeError:
+                pass
+            except BaseException as e:
+                self._reply(400, {"error": repr(e)})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+class EmbeddingServer:
+    """Owns batcher + HTTP server; start()/close() for tests, serve_forever
+    for the CLI."""
+
+    def __init__(self, configs: dict, checkpoint_path: str,
+                 host: str = "127.0.0.1", port: int = 8086,
+                 max_batch: int = 16, max_wait_ms: float = 5,
+                 embed_fn: Optional[callable] = None):
+        self.batcher = DynamicBatcher(
+            embed_fn if embed_fn is not None
+            else build_embed_fn(configs, checkpoint_path),
+            max_batch=max_batch, max_wait_ms=max_wait_ms)
+        self.httpd = make_server(self.batcher, host, port)
+        self.port = self.httpd.server_address[1]
+        self._thread = None
+
+    def start(self):
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.batcher.close()
