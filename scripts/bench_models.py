@@ -1,0 +1,78 @@
+"""Multi-model extraction-throughput table (PERF.md source of truth).
+
+Runs on the ambient (TPU tunnel) backend: wav -> device fbank -> CMVN ->
+model -> embedding, bf16 weights+activations, 2-second chunks.
+
+Usage: python scripts/bench_models.py [model ...]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CHUNK = (200 - 1) * 160 + 400
+
+SPECS = {
+    # name -> (registry model name, model_args, batch)
+    "ECAPA_TDNN_GLOB_c512": ("ECAPA_TDNN_GLOB_c512",
+                             {"feat_dim": 80, "embed_dim": 192}, 1024),
+    "ECAPA_TDNN_GLOB_c1024": ("ECAPA_TDNN_GLOB_c1024",
+                              {"feat_dim": 80, "embed_dim": 192}, 512),
+    "CAMPPlus": ("CAMPPlus", {"feat_dim": 80, "embed_dim": 192}, 512),
+    "ResNet34": ("ResNet34", {"feat_dim": 80, "embed_dim": 256}, 512),
+    "ResNet152": ("ResNet152", {"feat_dim": 80, "embed_dim": 256}, 256),
+    "ResNet293": ("ResNet293", {"feat_dim": 80, "embed_dim": 256}, 128),
+    "ERes2Net34_Base": ("ERes2Net34_Base",
+                        {"feat_dim": 80, "embed_dim": 192}, 512),
+    "Gemini_DF_ResNet60": ("Gemini_DF_ResNet60",
+                           {"feat_dim": 80, "embed_dim": 256}, 512),
+    "ReDimNetB2": ("ReDimNetB2", {"feat_dim": 72, "embed_dim": 192}, 512),
+    "RepVGG_A0": ("REPVGG_A0", {"feat_dim": 80, "embed_dim": 256}, 512),
+}
+
+
+def bench_one(name, iters=10):
+    from wespeaker_tpu.frontend import FbankConfig
+    from wespeaker_tpu.models import get_speaker_model
+    from wespeaker_tpu.train import make_eval_embed_fn
+
+    reg_name, args, batch = SPECS[name]
+    model = get_speaker_model(reg_name)(**args)
+    feat_dim = args["feat_dim"]
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, feat_dim)), train=False)
+    variables = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        variables)
+    embed_fn = make_eval_embed_fn(
+        model, FbankConfig(num_mel_bins=feat_dim),
+        compute_dtype=jnp.bfloat16)
+    fn = jax.jit(lambda w: embed_fn(variables, {"wav": w}))
+    wav = jnp.asarray(np.random.default_rng(0).uniform(
+        -0.5, 0.5, (batch, CHUNK)).astype(np.float32))
+    out = fn(wav)
+    jax.block_until_ready(out)
+    for _ in range(3):
+        out = fn(wav)
+    float(jnp.sum(out.astype(jnp.float32)))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(wav)
+    float(jnp.sum(out.astype(jnp.float32)))
+    dt = (time.perf_counter() - t0) / iters
+    asps = batch * 2.0 / dt
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(variables))
+    print(f"{name:24s} b={batch:4d} {dt*1e3:8.2f} ms  {asps:10,.0f} a-s/s"
+          f"  ({n_params/1e6:.2f}M params)")
+    return asps
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(SPECS)
+    print("devices:", jax.devices())
+    for n in names:
+        bench_one(n)
