@@ -31,6 +31,9 @@ SPECS = {
                            {"feat_dim": 80, "embed_dim": 256}, 512),
     "ReDimNetB2": ("ReDimNetB2", {"feat_dim": 72, "embed_dim": 192}, 512),
     "RepVGG_A0": ("REPVGG_A0", {"feat_dim": 80, "embed_dim": 256}, 512),
+    "RepVGG_A0_deploy": ("REPVGG_A0",
+                         {"feat_dim": 80, "embed_dim": 256,
+                          "deploy": True}, 512),
 }
 
 
