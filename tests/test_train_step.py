@@ -82,3 +82,39 @@ def test_mesh_shapes():
     assert mesh.devices.shape == (8, 1)
     mesh2 = make_mesh(model=2)
     assert mesh2.devices.shape == (4, 2)
+
+
+def test_amp_bf16_step_converges_with_f32_master_weights():
+    """True AMP: forward sees bf16 params (MXU path) but the optimizer
+    keeps f32 master weights and f32 batch stats; loss must track the
+    f32 step closely and still decrease."""
+    model = ECAPA_TDNN(channels=64, feat_dim=40, embed_dim=64)
+    projection = ArcMarginProduct(64, 8, scale=32.0)
+    tx = optax.inject_hyperparams(optax.sgd)(learning_rate=0.1, momentum=0.9)
+    lr_fn = ExponentialDecrease(2, 50, 0.1, 0.01, warm_up_epoch=1)
+    margin_fn = MarginScheduler(50, 1, 2, 0.0, 0.2)
+    fb = FbankConfig(num_mel_bins=40, dither=0.0)
+    batch = _batch()
+
+    losses = {}
+    for name, dt in [("f32", jnp.float32), ("amp", jnp.bfloat16)]:
+        step_fn = make_train_step(model, projection, tx, lr_fn, margin_fn,
+                                  fbank_cfg=fb, compute_dtype=dt)
+        state = init_train_state(model, projection, tx, jax.random.PRNGKey(0),
+                                 feat_dim=40, embed_dim=64)
+        step_jit = jax.jit(step_fn)
+        ls = []
+        for _ in range(6):
+            state, m = step_jit(state, batch)
+            ls.append(float(m["loss"]))
+        losses[name] = ls
+        for leaf in jax.tree_util.tree_leaves(state.params):
+            assert leaf.dtype == jnp.float32
+        for leaf in jax.tree_util.tree_leaves(state.batch_stats):
+            assert leaf.dtype == jnp.float32
+
+    # first step identical up to bf16 rounding; later steps drift as the
+    # toy task collapses toward zero loss, so only require convergence
+    np.testing.assert_allclose(losses["amp"][0], losses["f32"][0], rtol=0.02)
+    np.testing.assert_allclose(losses["amp"][1], losses["f32"][1], rtol=0.1)
+    assert losses["amp"][-1] < 0.5 * losses["amp"][0]

@@ -115,7 +115,19 @@ def make_train_step(model, projection, tx: optax.GradientTransformation,
         else:
             feat = featurize_fn(batch, key)
         feat = feat.astype(compute_dtype)
-        variables = {"params": params["model"], "batch_stats": batch_stats}
+        mparams = params["model"]
+        if compute_dtype != jnp.float32:
+            # true AMP: master params stay f32 in the optimizer; the
+            # forward sees compute_dtype params so matmuls hit the bf16
+            # MXU path (grad of astype casts grads back to f32). Without
+            # this, f32 params promote every matmul back to f32 and the
+            # feature cast is a no-op. TPU reductions accumulate in f32,
+            # so BN batch stats stay accurate; stored running stats remain
+            # f32 via the EMA's dtype promotion.
+            mparams = jax.tree_util.tree_map(
+                lambda a: (a.astype(compute_dtype)
+                           if a.dtype == jnp.float32 else a), mparams)
+        variables = {"params": mparams, "batch_stats": batch_stats}
         embed, mutated = model.apply(
             variables, feat, train=True, mutable=["batch_stats"])
         embed = embed.astype(jnp.float32)
