@@ -143,3 +143,35 @@ def test_multi_crop_batching():
     assert len(batches) == 1
     assert batches[0]["global_wav"].shape == (8, 3200)
     assert batches[0]["local_wav"].shape == (12, 1600)
+
+
+def test_dino_train_step_amp_bf16():
+    """AMP DINO step: compute_dtype=bf16 runs, loss tracks f32 step on the
+    first iteration, state dtypes stay f32."""
+    feat_dim, embed_dim, out_dim = 24, 32, 64
+    backbone = ECAPA_TDNN(channels=32, feat_dim=feat_dim, embed_dim=embed_dim)
+    head = D.DINOHead(out_dim=out_dim, hidden_dim=64, bottleneck_dim=16)
+    tx = optax.inject_hyperparams(optax.sgd)(learning_rate=0.1, momentum=0.9)
+    apply_fn = D.make_apply_fn(backbone, head)
+    cfg = D.DINOConfig(out_dim=out_dim, n_global=2, n_local=2,
+                       freeze_last_layer_iters=0)
+    rng = np.random.default_rng(1)
+    batch = {
+        "global_feat": jnp.asarray(
+            rng.normal(size=(2 * 4, 50, feat_dim)).astype(np.float32)),
+        "local_feat": jnp.asarray(
+            rng.normal(size=(2 * 4, 20, feat_dim)).astype(np.float32)),
+    }
+    losses = {}
+    for name, dt in [("f32", jnp.float32), ("amp", jnp.bfloat16)]:
+        state = D.init_dino_state(backbone, head, tx, jax.random.PRNGKey(0),
+                                  feat_dim=feat_dim, embed_dim=embed_dim)
+        step = jax.jit(D.make_dino_train_step(
+            apply_fn, tx, D.cosine_scheduler(0.1, 0.01, 2, 5, 1),
+            lambda s: 0.99, D.teacher_temp_schedule(0.04, 0.07, 2, 5), cfg,
+            compute_dtype=dt))
+        state, m = step(state, batch)
+        losses[name] = float(m["loss"])
+        for leaf in jax.tree_util.tree_leaves(state.student):
+            assert leaf.dtype == jnp.float32
+    np.testing.assert_allclose(losses["amp"], losses["f32"], rtol=0.02)

@@ -74,6 +74,8 @@ def train_contrastive(config: str, overrides=None, **kwargs):
         num_samples = sum(1 for _ in f)
     epoch_iter = max(num_samples // batch, 1)
     ssl_args = configs.get("ssl_args", {})
+    compute_dtype = (jnp.bfloat16 if configs.get("enable_amp")
+                     else jnp.float32)
     lr_fn = cosine_scheduler(ssl_args.get("base_lr", 0.06) * batch / 256,
                              ssl_args.get("final_lr", 1e-5), num_epochs,
                              epoch_iter,
@@ -99,7 +101,8 @@ def train_contrastive(config: str, overrides=None, **kwargs):
             rng=jax.random.PRNGKey(2))
         step_fn = C.make_moco_train_step(
             encode_fn, tx, lr_fn, m=ssl_args.get("momentum", 0.999),
-            T=ssl_args.get("temperature", 0.07))
+            T=ssl_args.get("temperature", 0.07),
+            compute_dtype=compute_dtype)
     else:
         state = C.SimCLRState(
             step=jnp.zeros((), jnp.int32), params=variables["params"],
@@ -108,7 +111,8 @@ def train_contrastive(config: str, overrides=None, **kwargs):
             rng=jax.random.PRNGKey(2))
         step_fn = C.make_simclr_train_step(
             encode_fn, tx, lr_fn, n_views=2,
-            T=ssl_args.get("temperature", 0.07))
+            T=ssl_args.get("temperature", 0.07),
+            compute_dtype=compute_dtype)
 
     spk2id = spk2id_from_utt2spk(configs["utt2spk"])
     ds_args = dict(configs["dataset_args"])

@@ -71,8 +71,10 @@ def train_dino(config: str, overrides=None, **kwargs):
         * epoch_iter,
         clip_grad=dino_args.get("clip_grad", 3.0))
     apply_fn = D.make_apply_fn(backbone, head)
-    step_fn = D.make_dino_train_step(apply_fn, tx, lr_fn, mom_fn, temp_fn,
-                                     cfg)
+    step_fn = D.make_dino_train_step(
+        apply_fn, tx, lr_fn, mom_fn, temp_fn, cfg,
+        compute_dtype=jnp.bfloat16 if configs.get("enable_amp")
+        else jnp.float32)
     state = D.init_dino_state(backbone, head, tx,
                               jax.random.PRNGKey(configs.get("seed", 42)),
                               feat_dim=feat_dim, embed_dim=embed_dim)

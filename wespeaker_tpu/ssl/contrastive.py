@@ -59,14 +59,20 @@ def enqueue(queue, ptr, keys):
 
 
 def make_moco_train_step(encode_fn: Callable, tx, lr_fn, m: float = 0.999,
-                         T: float = 0.07):
+                         T: float = 0.07, compute_dtype=jnp.float32):
     """encode_fn(params, batch_stats, feats, train) ->
     (embeddings, new_stats)."""
+    from wespeaker_tpu.train.train_step import amp_cast
 
     def loss_fn(params, state: MoCoState, q_feats, k_feats):
-        q, new_stats = encode_fn(params, state.batch_stats, q_feats, True)
-        k, _ = encode_fn(state.key_params, state.key_stats, k_feats, False)
-        loss, acc, k = moco_loss(q, k, state.queue, T)
+        q, new_stats = encode_fn(amp_cast(params, compute_dtype),
+                                 state.batch_stats,
+                                 q_feats.astype(compute_dtype), True)
+        k, _ = encode_fn(amp_cast(state.key_params, compute_dtype),
+                         state.key_stats,
+                         k_feats.astype(compute_dtype), False)
+        loss, acc, k = moco_loss(q.astype(jnp.float32),
+                                 k.astype(jnp.float32), state.queue, T)
         return loss, (acc, k, new_stats)
 
     def train_step(state: MoCoState, batch):
@@ -121,10 +127,13 @@ class SimCLRState(flax.struct.PyTreeNode):
 
 
 def make_simclr_train_step(encode_fn: Callable, tx, lr_fn, n_views=2,
-                           T=0.07):
+                           T=0.07, compute_dtype=jnp.float32):
+    from wespeaker_tpu.train.train_step import amp_cast
+
     def loss_fn(params, stats, feats):
-        emb, new_stats = encode_fn(params, stats, feats, True)
-        return simclr_loss(emb, n_views, T), new_stats
+        emb, new_stats = encode_fn(amp_cast(params, compute_dtype), stats,
+                                   feats.astype(compute_dtype), True)
+        return simclr_loss(emb.astype(jnp.float32), n_views, T), new_stats
 
     def train_step(state: SimCLRState, batch):
         lr = lr_fn(state.step)

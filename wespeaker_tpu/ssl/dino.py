@@ -194,19 +194,25 @@ def param_wise_clip(grads, params, clip: float):
 
 
 def make_dino_train_step(apply_fn: Callable, tx, lr_fn, momentum_fn, temp_fn,
-                         cfg: DINOConfig = DINOConfig()):
+                         cfg: DINOConfig = DINOConfig(),
+                         compute_dtype=jnp.float32):
     """apply_fn(variables, feats, train, mutable) -> (head_out, new_stats):
     the backbone+head composite forward on (B, T, F) features."""
+    from wespeaker_tpu.train.train_step import amp_cast
 
     def loss_fn(student_params, state: DINOState, g_feats, l_feats, temp):
-        svars = {"params": student_params,
+        svars = {"params": amp_cast(student_params, compute_dtype),
                  "batch_stats": state.student_stats}
+        g_feats = g_feats.astype(compute_dtype)
+        l_feats = l_feats.astype(compute_dtype)
         g_out, st1 = apply_fn(svars, g_feats, True)
-        svars = {"params": student_params, "batch_stats": st1}
+        svars = {"params": svars["params"], "batch_stats": st1}
         l_out, st2 = apply_fn(svars, l_feats, True)
-        s_out = jnp.concatenate([g_out, l_out])
-        tvars = {"params": state.teacher, "batch_stats": state.teacher_stats}
+        s_out = jnp.concatenate([g_out, l_out]).astype(jnp.float32)
+        tvars = {"params": amp_cast(state.teacher, compute_dtype),
+                 "batch_stats": state.teacher_stats}
         t_out, _ = apply_fn(tvars, g_feats, False)
+        t_out = t_out.astype(jnp.float32)
         t_out = jax.lax.stop_gradient(t_out)
         loss = dino_loss(s_out, t_out, state.center, temp,
                          cfg.n_global + cfg.n_local, cfg.n_global,

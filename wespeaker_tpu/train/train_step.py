@@ -47,6 +47,17 @@ class TrainState(flax.struct.PyTreeNode):
     rng: jnp.ndarray
 
 
+def amp_cast(tree, compute_dtype):
+    """Compute-dtype view of an f32 param tree (f32 master weights stay in
+    the optimizer; the astype transpose returns f32 grads). Identity for
+    f32."""
+    if compute_dtype == jnp.float32:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda a: (a.astype(compute_dtype)
+                   if a.dtype == jnp.float32 else a), tree)
+
+
 def spec_aug_batch(key, feat, cfg: AugConfig):
     """Random time/freq masking, vectorized over the batch. Mirrors the
     per-utterance reference semantics: start ~ U[0, dim-1], width ~ U[1, max],
@@ -115,18 +126,14 @@ def make_train_step(model, projection, tx: optax.GradientTransformation,
         else:
             feat = featurize_fn(batch, key)
         feat = feat.astype(compute_dtype)
-        mparams = params["model"]
-        if compute_dtype != jnp.float32:
-            # true AMP: master params stay f32 in the optimizer; the
-            # forward sees compute_dtype params so matmuls hit the bf16
-            # MXU path (grad of astype casts grads back to f32). Without
-            # this, f32 params promote every matmul back to f32 and the
-            # feature cast is a no-op. TPU reductions accumulate in f32,
-            # so BN batch stats stay accurate; stored running stats remain
-            # f32 via the EMA's dtype promotion.
-            mparams = jax.tree_util.tree_map(
-                lambda a: (a.astype(compute_dtype)
-                           if a.dtype == jnp.float32 else a), mparams)
+        # true AMP: master params stay f32 in the optimizer; the forward
+        # sees compute_dtype params so matmuls hit the bf16 MXU path (grad
+        # of astype casts grads back to f32). Without this, f32 params
+        # promote every matmul back to f32 and the feature cast is a
+        # no-op. TPU reductions accumulate in f32, so BN batch stats stay
+        # accurate; stored running stats remain f32 via the EMA's dtype
+        # promotion.
+        mparams = amp_cast(params["model"], compute_dtype)
         variables = {"params": mparams, "batch_stats": batch_stats}
         embed, mutated = model.apply(
             variables, feat, train=True, mutable=["batch_stats"])
