@@ -41,3 +41,74 @@ def test_whisper_encoder_model_axis_sharding():
     got = np.asarray(jax.jit(enc.apply)(placed, jax.device_put(
         x, NamedSharding(mesh, P("data")))))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_wavlm_frontend_model_axis_sharding():
+    """WavLM attention/MLP kernels shard over 'model'; sharded forward
+    matches single-device numerics."""
+    import dataclasses
+
+    from wespeaker_tpu.frontend.wavlm import WavLMConfig, WavLMFrontend
+
+    mesh = make_mesh(model=4)
+    cfg = dataclasses.replace(
+        WavLMConfig.base(), hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        conv_dim=(16, 16), conv_kernel=(3, 3), conv_stride=(2, 2))
+    fe = WavLMFrontend(cfg)
+    wav = jnp.asarray(np.random.default_rng(1).uniform(
+        -0.5, 0.5, (2, 2000)).astype(np.float32))
+    variables = fe.init(jax.random.PRNGKey(0), wav)
+
+    logical_rules = (("embed", None), ("heads", "model"), ("mlp", "model"))
+    with mesh:
+        shardings = nn.logical_to_mesh_sharding(
+            nn.get_partition_spec(variables), mesh, logical_rules)
+    unboxed = nn.meta.unbox(variables)
+    placed = jax.tree_util.tree_map(jax.device_put, unboxed, shardings)
+
+    qk = placed["params"]["layers_0"]["attention"]["q_proj"]["kernel"]
+    assert qk.addressable_shards[0].data.shape == (64, 64 // 4)
+
+    want = np.asarray(fe.apply(unboxed, wav)[-1])
+    got = np.asarray(jax.jit(fe.apply)(
+        placed, jax.device_put(wav, NamedSharding(mesh, P("data"))))[-1])
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_w2vbert_encoder_model_axis_sharding():
+    """w2v-bert conformer attention/MLP kernels shard over 'model'."""
+    import dataclasses
+
+    from wespeaker_tpu.frontend.w2vbert import (W2VBertConfig,
+                                                W2VBertFrontend)
+
+    mesh = make_mesh(model=4)
+    cfg = dataclasses.replace(
+        W2VBertConfig(), hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        feature_projection_input_dim=32)
+    enc = W2VBertFrontend(cfg)
+    x = jnp.asarray(np.random.default_rng(2).normal(
+        size=(2, 20, 32)).astype(np.float32))
+    variables = enc.init(jax.random.PRNGKey(0), x)
+
+    logical_rules = (("embed", None), ("heads", "model"), ("mlp", "model"))
+    with mesh:
+        shardings = nn.logical_to_mesh_sharding(
+            nn.get_partition_spec(variables), mesh, logical_rules)
+    unboxed = nn.meta.unbox(variables)
+    placed = jax.tree_util.tree_map(jax.device_put, unboxed, shardings)
+
+    found = jax.tree_util.tree_reduce(
+        lambda acc, leaf: acc or (hasattr(leaf, "addressable_shards")
+                                  and leaf.addressable_shards[0].data.shape
+                                  != leaf.shape), placed, False)
+    assert found, "no kernel actually sharded"
+
+    out = enc.apply(unboxed, x)
+    want = np.asarray(out[-1] if isinstance(out, (tuple, list)) else out)
+    got = jax.jit(enc.apply)(placed, jax.device_put(
+        x, NamedSharding(mesh, P("data"))))
+    got = np.asarray(got[-1] if isinstance(got, (tuple, list)) else got)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
