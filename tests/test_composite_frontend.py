@@ -168,3 +168,33 @@ def test_tfmel_build_and_masked_eval():
         cos = np.dot(padded[i], solo) / (
             np.linalg.norm(padded[i]) * np.linalg.norm(solo))
         assert cos > 0.999, (i, cos)
+
+def test_hubert_composite_builds_and_runs():
+    """frontend: hubert (plain-MHA upstream) builds a wav-native composite
+    and produces embeddings (s3prl multi-upstream parity)."""
+    configs = {
+        "model": "ECAPA_TDNN",
+        "model_args": {"embed_dim": 16, "channels": 16, "feat_dim": 0},
+        "dataset_args": {
+            "frontend": "hubert",
+            "hubert_args": {"hidden_size": 32, "num_hidden_layers": 2,
+                            "num_attention_heads": 4,
+                            "intermediate_size": 64,
+                            "conv_dim": (8,) * 7,
+                            "num_conv_pos_embeddings": 16,
+                            "num_conv_pos_embedding_groups": 4},
+        },
+    }
+    built = build_model(configs)
+    assert built.frontend_type == "hubert"
+    variables = built.model.init(jax.random.PRNGKey(0), built.init_example,
+                                 train=False)
+    params = jax.tree_util.tree_map(lambda a: a, variables["params"])
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    names = "".join(str(p) for p, _ in flat)
+    assert "rel_attn_embed" not in names  # plain MHA, no WavLM bias
+    wav = jnp.asarray(np.random.default_rng(0).uniform(
+        -0.5, 0.5, (2, 8000)).astype(np.float32))
+    emb = built.model.apply(variables, wav, train=False)
+    assert emb.shape == (2, 16)
+    assert np.isfinite(np.asarray(emb)).all()

@@ -148,3 +148,48 @@ def test_wavlm_featurizer_composite_with_ecapa():
     np.testing.assert_allclose(
         np.asarray(f.apply(fv, [jnp.full((1, 2, 2), float(i))
                                 for i in range(3)])), 1.0, atol=1e-6)
+
+@pytest.mark.parametrize("family", ["hubert", "wav2vec2"])
+def test_hubert_wav2vec2_match_torch(family):
+    """use_rel_pos_bias=False turns the WavLM stack into the HuBERT /
+    wav2vec 2.0 architecture (plain MHA) — parity vs the HF torch models
+    (the other s3prl upstreams, s3prl.py:23-93)."""
+    kw = _tiny_cfg(stable=False)
+    kw.pop("num_buckets")
+    kw.pop("max_bucket_distance")
+    tkw = dict(
+        hidden_size=32, num_hidden_layers=3, num_attention_heads=4,
+        intermediate_size=64, conv_dim=(16,) * 7,
+        conv_kernel=(10, 3, 3, 3, 3, 2, 2),
+        conv_stride=(5, 2, 2, 2, 2, 2, 2),
+        conv_bias=False, feat_extract_norm="group",
+        do_stable_layer_norm=False, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, num_feat_extract_layers=7,
+        layerdrop=0.0, hidden_dropout=0.0, activation_dropout=0.0,
+        attention_dropout=0.0, feat_proj_dropout=0.0)
+    torch.manual_seed(0)
+    if family == "hubert":
+        ref = transformers.HubertModel(
+            transformers.HubertConfig(**tkw)).eval()
+    else:
+        ref = transformers.Wav2Vec2Model(
+            transformers.Wav2Vec2Config(**tkw)).eval()
+
+    rng = np.random.default_rng(0)
+    wav = rng.uniform(-0.5, 0.5, (2, 8000)).astype(np.float32)
+    with torch.no_grad():
+        out = ref(torch.from_numpy(wav), output_hidden_states=True)
+    want_last = out.last_hidden_state.numpy()
+
+    cfg = WavLMConfig(use_rel_pos_bias=False,
+                      **{k: v for k, v in kw.items()})
+    model = WavLMFrontend(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4000)))
+    sd = fold_wavlm_weight_norm(
+        {k: v.numpy() for k, v in ref.state_dict().items()
+         if "masked_spec_embed" not in k})
+    variables = torch_to_flax_variables(sd, variables,
+                                        rules=rules_for("WavLM"))
+    hidden, last = model.apply(variables, jnp.asarray(wav))
+    np.testing.assert_allclose(np.asarray(last), want_last,
+                               atol=2e-4, rtol=1e-3)

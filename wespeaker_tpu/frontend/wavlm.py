@@ -43,10 +43,25 @@ class WavLMConfig:
     num_buckets: int = 320
     max_bucket_distance: int = 800
     layer_norm_eps: float = 1e-5
+    # False -> plain scaled-dot attention: the HuBERT / wav2vec 2.0
+    # architecture (HF HubertModel/Wav2Vec2Model), which is WavLM without
+    # the gated relative-position bias
+    use_rel_pos_bias: bool = True
 
     @classmethod
     def base(cls):
         return cls()
+
+    @classmethod
+    def hubert_base(cls):
+        return cls(use_rel_pos_bias=False)
+
+    @classmethod
+    def hubert_large(cls):
+        return cls(hidden_size=1024, num_hidden_layers=24,
+                   num_attention_heads=16, intermediate_size=4096,
+                   feat_extract_norm="layer", do_stable_layer_norm=True,
+                   conv_bias=True, use_rel_pos_bias=False)
 
     @classmethod
     def large(cls):
@@ -97,23 +112,26 @@ class WavLMAttention(nn.Module):
         h, d = c.num_attention_heads, c.hidden_size // c.num_attention_heads
         b, t, _ = x.shape
 
-        if position_bias is None:
-            rel = nn.Embed(c.num_buckets, h, name="rel_attn_embed")
-            buckets = jnp.asarray(relative_position_buckets(
-                t, t, c.num_buckets, c.max_bucket_distance))
-            position_bias = rel(buckets).transpose(2, 0, 1)  # (H, T, T)
+        if c.use_rel_pos_bias:
+            if position_bias is None:
+                rel = nn.Embed(c.num_buckets, h, name="rel_attn_embed")
+                buckets = jnp.asarray(relative_position_buckets(
+                    t, t, c.num_buckets, c.max_bucket_distance))
+                position_bias = rel(buckets).transpose(2, 0, 1)  # (H, T, T)
 
-        # gated relative position bias (modeling_wavlm.py:165-180): the
-        # per-layer gate is computed from the *un-projected* query heads
-        gate_in = x.reshape(b, t, h, d).transpose(0, 2, 1, 3)  # (B,H,T,d)
-        proj = _dense(8, "gru_rel_pos_linear")(gate_in)
-        proj = proj.reshape(b, h, t, 2, 4).sum(-1)  # (B,H,T,2)
-        gates = nn.sigmoid(proj)
-        gate_a, gate_b = gates[..., 0:1], gates[..., 1:2]  # (B,H,T,1)
-        const = self.param("gru_rel_pos_const", nn.initializers.ones,
-                           (1, h, 1, 1))
-        gate = gate_a * (gate_b * const - 1.0) + 2.0  # (B,H,T,1)
-        gated_bias = gate * position_bias[None]  # (B,H,T,T)
+            # gated relative position bias (modeling_wavlm.py:165-180): the
+            # per-layer gate is computed from the *un-projected* query heads
+            gate_in = x.reshape(b, t, h, d).transpose(0, 2, 1, 3)
+            proj = _dense(8, "gru_rel_pos_linear")(gate_in)
+            proj = proj.reshape(b, h, t, 2, 4).sum(-1)  # (B,H,T,2)
+            gates = nn.sigmoid(proj)
+            gate_a, gate_b = gates[..., 0:1], gates[..., 1:2]  # (B,H,T,1)
+            const = self.param("gru_rel_pos_const", nn.initializers.ones,
+                               (1, h, 1, 1))
+            gate = gate_a * (gate_b * const - 1.0) + 2.0  # (B,H,T,1)
+            gated_bias = gate * position_bias[None]  # (B,H,T,T)
+        else:
+            gated_bias = jnp.zeros((), x.dtype)  # HuBERT/wav2vec2: plain MHA
 
         q = _dense(c.hidden_size, "q_proj", ("embed", "heads"))(x)
         k = _dense(c.hidden_size, "k_proj", ("embed", "heads"))(x)

@@ -30,8 +30,8 @@ class BuiltModel:
     @property
     def init_example(self):
         """Dummy input for model.init: waveform for wav-native frontends
-        (wavlm/s3prl), (B, T, F) features otherwise."""
-        if self.frontend_type in ("wavlm", "s3prl"):
+        (wavlm/s3prl/hubert/wav2vec2), (B, T, F) features otherwise."""
+        if self.frontend_type in ("wavlm", "s3prl", "hubert", "wav2vec2"):
             return jnp.zeros((1, self.init_feat_dim))
         return jnp.zeros((1, 32, self.init_feat_dim))
 
@@ -88,20 +88,27 @@ def build_model(configs: Dict[str, Any]) -> BuiltModel:
         return BuiltModel(model, featurize_train, featurize_eval,
                           frontend.n_mels, frontend_type)
 
-    if frontend_type in ("wavlm", "s3prl"):
-        # TPU-native replacement for the s3prl WavLM upstream: flax WavLM
-        # (parity-tested vs HF torch) + learned-layer-weight Featurizer
+    if frontend_type in ("wavlm", "s3prl", "hubert", "wav2vec2"):
+        # TPU-native replacement for the s3prl upstreams: flax WavLM /
+        # HuBERT / wav2vec2 (parity-tested vs HF torch; hubert/wav2vec2 are
+        # the same stack with use_rel_pos_bias=False) + learned-layer-weight
+        # Featurizer
         from wespeaker_tpu.frontend.wavlm import (WavLMConfig,
                                                   WavLMWithFeaturizer)
         from wespeaker_tpu.models.with_frontend import FrontendSpeakerModel
 
-        fe_args = dict(dataset_args.get("wavlm_args",
-                                        dataset_args.get("s3prl_args", {})))
+        fe_args = dict(dataset_args.get(
+            f"{frontend_type}_args", dataset_args.get("s3prl_args", {})))
         fe_args.pop("upstream_args", None)
         frozen = fe_args.pop("frozen", False)
         normalize_input = fe_args.pop("normalize_input", False)
         size = fe_args.pop("size", "base")
-        cfg = WavLMConfig.large() if size == "large" else WavLMConfig.base()
+        if frontend_type in ("hubert", "wav2vec2"):
+            cfg = (WavLMConfig.hubert_large() if size == "large"
+                   else WavLMConfig.hubert_base())
+        else:
+            cfg = (WavLMConfig.large() if size == "large"
+                   else WavLMConfig.base())
         if fe_args:
             cfg = dataclasses.replace(cfg, **fe_args)
         frontend = WavLMWithFeaturizer(cfg, frozen=frozen,
