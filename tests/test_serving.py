@@ -103,3 +103,62 @@ def test_http_endpoints(embed_setup, tmp_path):
                                                                abs=1e-4)
     finally:
         server.close()
+
+
+def test_http_diarize_endpoint(embed_setup):
+    """/diarize returns speaker segments via a feats->embedding diarizer;
+    servers without one return 501."""
+    from wespeaker_tpu.diar.pipeline import diarize_wav
+    from wespeaker_tpu.frontend import FbankConfig
+
+    model = ECAPA_TDNN(channels=32, feat_dim=40, embed_dim=32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 40)),
+                           train=False)
+    feats_fwd = jax.jit(lambda f: model.apply(variables, f, train=False))
+
+    def diarize_fn(wav, sr):
+        def embed_batch(banks):
+            return np.asarray(feats_fwd(jnp.asarray(banks)))
+        merged, _ = diarize_wav(
+            "utt", wav, sr, embed_batch,
+            fbank_cfg=FbankConfig(num_mel_bins=40, dither=0.0),
+            clusterer="spectral", num_spks=2)
+        return merged
+
+    server = EmbeddingServer({}, "", port=0, embed_fn=embed_setup,
+                             diarize_fn=diarize_fn, max_wait_ms=2).start()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        rng = np.random.default_rng(3)
+        t = np.arange(4 * 16000) / 16000.0
+        wav = np.where(t < 2.0,
+                       0.3 * np.sin(2 * np.pi * 220 * t),
+                       0.3 * np.sin(2 * np.pi * 880 * t))
+        wav = (wav + rng.normal(0, 0.01, len(t))).astype(np.float32)
+        req = urllib.request.Request(
+            f"{base}/diarize",
+            data=json.dumps({"wav": wav.tolist(),
+                             "sample_rate": 16000}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            segs = json.load(r)["segments"]
+        assert segs, "no segments returned"
+        for s in segs:
+            assert 0.0 <= s["begin"] < s["end"] <= 4.1
+    finally:
+        server.close()
+
+    # no diarizer -> 501
+    server = EmbeddingServer({}, "", port=0, embed_fn=embed_setup,
+                             max_wait_ms=2).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/diarize",
+            data=json.dumps({"wav": [0.0] * 1600,
+                             "sample_rate": 16000}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 501
+    finally:
+        server.close()

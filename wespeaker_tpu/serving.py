@@ -114,8 +114,11 @@ class DynamicBatcher:
 
 
 def build_embed_fn(configs: dict, checkpoint_path: str):
-    """config + checkpoint -> jitted (wavs, mask) -> embeddings."""
+    """config + checkpoint -> (jitted (wavs, mask) -> embeddings,
+    diarize(wav, sr, ...) -> merged segments or None for non-fbank
+    frontends)."""
     import jax
+    import jax.numpy as jnp
 
     from wespeaker_tpu.bin.extract import load_model_for_eval
     from wespeaker_tpu.frontend import FbankConfig
@@ -133,7 +136,23 @@ def build_embed_fn(configs: dict, checkpoint_path: str):
     def embed(wavs, mask):
         return fn(variables, {"wav": wavs, "mask": mask})
 
-    return embed
+    diarize = None
+    if built.frontend_type == "fbank":
+        from wespeaker_tpu.diar.pipeline import diarize_wav
+
+        feats_fwd = jax.jit(
+            lambda feats: built.model.apply(variables, feats, train=False))
+
+        def diarize(wav, sr, num_spks=None, clusterer="spectral"):
+            def embed_batch(banks):
+                return np.asarray(feats_fwd(jnp.asarray(banks)))
+
+            merged, _ = diarize_wav("utt", wav, sr, embed_batch,
+                                    fbank_cfg=fbank_cfg,
+                                    clusterer=clusterer, num_spks=num_spks)
+            return merged
+
+    return embed, diarize
 
 
 def _decode_wav_body(body: bytes, content_type: str):
@@ -149,7 +168,8 @@ def _decode_wav_body(body: bytes, content_type: str):
 
 
 def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
-                port: int = 8086, resample_rate: int = 16000):
+                port: int = 8086, resample_rate: int = 16000,
+                diarize_fn=None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet
             pass
@@ -181,6 +201,19 @@ def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
                         wav = resample_array(wav, sr, resample_rate)
                     emb = batcher.embed(wav)
                     self._reply(200, {"embedding": emb.tolist()})
+                elif self.path == "/diarize":
+                    if diarize_fn is None:
+                        self._reply(501, {"error":
+                                          "diarization unavailable for "
+                                          "this model's frontend"})
+                        return
+                    wav, sr = _decode_wav_body(body, ctype)
+                    merged = diarize_fn(np.asarray(wav, np.float32), sr)
+                    self._reply(200, {"segments": [
+                        {"begin": round(float(b), 3),
+                         "end": round(float(e), 3),
+                         "speaker": int(lab)}
+                        for (_, b, e, lab) in merged]})
                 elif self.path == "/similarity":
                     obj = json.loads(body)
                     e1 = batcher.embed(np.asarray(obj["wav1"], np.float32))
@@ -206,12 +239,15 @@ class EmbeddingServer:
     def __init__(self, configs: dict, checkpoint_path: str,
                  host: str = "127.0.0.1", port: int = 8086,
                  max_batch: int = 16, max_wait_ms: float = 5,
-                 embed_fn: Optional[callable] = None):
+                 embed_fn: Optional[callable] = None,
+                 diarize_fn: Optional[callable] = None):
+        if embed_fn is None:
+            embed_fn, built_diar = build_embed_fn(configs, checkpoint_path)
+            diarize_fn = diarize_fn or built_diar
         self.batcher = DynamicBatcher(
-            embed_fn if embed_fn is not None
-            else build_embed_fn(configs, checkpoint_path),
-            max_batch=max_batch, max_wait_ms=max_wait_ms)
-        self.httpd = make_server(self.batcher, host, port)
+            embed_fn, max_batch=max_batch, max_wait_ms=max_wait_ms)
+        self.httpd = make_server(self.batcher, host, port,
+                                 diarize_fn=diarize_fn)
         self.port = self.httpd.server_address[1]
         self._thread = None
 
