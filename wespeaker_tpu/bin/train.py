@@ -81,7 +81,8 @@ def train(config: str, overrides=None, **kwargs):
                          dist_args.get("process_id"))
     rank = jax.process_index()
     world = jax.process_count()
-    mesh = make_mesh()
+    mesh = make_mesh(
+        model=configs.get("parallel_args", {}).get("model", 1))
     n_dev = mesh.devices.size
 
     spk2id = spk2id_from_utt2spk(configs["spk2id"]
@@ -96,6 +97,12 @@ def train(config: str, overrides=None, **kwargs):
                      seed=configs.get("seed", 42))
     dataset = SpeakerDataset(*ds_args, **ds_kwargs)
     num_class = dataset.num_classes()
+    model_axis = mesh.shape["model"]
+    if model_axis > 1 and num_class % model_axis:
+        # pad the classifier to a multiple of the model axis so its rows
+        # shard evenly; padded rows are never targets and just train as
+        # always-negative classes
+        num_class = -(-num_class // model_axis) * model_axis
     logger.info(f"speakers: {len(spk2id)} classes: {num_class} "
                 f"devices: {n_dev} hosts: {world}")
 
@@ -107,7 +114,9 @@ def train(config: str, overrides=None, **kwargs):
         if getattr(model, "frozen_frontend", False) else None)
 
     batch_size = dataset_args.get("batch_size", 64)
-    global_batch = batch_size * n_dev
+    # batch is sharded over the 'data' axis only; with a model axis the
+    # per-device batch rides each model group
+    global_batch = batch_size * mesh.shape["data"]
     num_epochs = configs.get("num_epochs", 10)
     with open(configs["train_data"]) as f:
         num_samples = sum(1 for _ in f)
@@ -185,8 +194,26 @@ def train(config: str, overrides=None, **kwargs):
                     f"at epoch {start_epoch}")
 
     rep = replicated(mesh)
-    state = jax.device_put(state, rep)
-    step_jit = jax.jit(step_fn, out_shardings=(rep, rep))
+    if mesh.shape["model"] > 1:
+        # tensor-parallel margin head: the (num_class, embed) weight is the
+        # largest training matrix at VoxBlink-scale class counts; shard its
+        # rows over 'model' and let GSPMD insert the logits all-gather
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard_w = NamedSharding(mesh, P("model", None))
+
+        def place(path, leaf):
+            names = [str(getattr(p, "key", getattr(p, "name", "")))
+                     for p in path]
+            if "projection" in names and "weight" in names:
+                return jax.device_put(leaf, shard_w)
+            return jax.device_put(leaf, rep)
+
+        state = jax.tree_util.tree_map_with_path(place, state)
+        step_jit = jax.jit(step_fn)
+    else:
+        state = jax.device_put(state, rep)
+        step_jit = jax.jit(step_fn, out_shardings=(rep, rep))
 
     if rank == 0:
         dump_yaml({**configs, "num_class": num_class,
