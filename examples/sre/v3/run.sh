@@ -47,12 +47,12 @@ fi
 
 if [ $stage -le 6 ] && [ $stop_stage -ge 6 ]; then
   echo "=== cosine scoring on processed embeddings ==="
-  python -m wespeaker_tpu.bin.score \
-    --enroll_scp $exp/embeddings/enroll_proc.scp \
-    --test_scp $exp/embeddings/test_proc.scp \
-    --trials $trials --score_file $exp/scores/cosine_proc.score
+  cat $exp/embeddings/enroll_proc.scp $exp/embeddings/test_proc.scp \
+    > $exp/embeddings/eval_proc.scp
+  python -m wespeaker_tpu.bin.score --exp_dir $exp \
+    --eval_scp_path $exp/embeddings/eval_proc.scp $trials
   python -m wespeaker_tpu.bin.compute_metrics \
-    --scores $exp/scores/cosine_proc.score
+    $exp/scores/$(basename $trials).score
 fi
 
 if [ $stage -le 7 ] && [ $stop_stage -ge 7 ]; then
@@ -67,7 +67,7 @@ if [ $stage -le 7 ] && [ $stop_stage -ge 7 ]; then
     --test_scp_path $exp/embeddings/test_proc.scp \
     --trials $trials --score_path $exp/scores/plda.score \
     --model_path $exp/plda.h5
-  python -m wespeaker_tpu.bin.compute_metrics --scores $exp/scores/plda.score
+  python -m wespeaker_tpu.bin.compute_metrics $exp/scores/plda.score
 fi
 
 if [ $stage -le 8 ] && [ $stop_stage -ge 8 ]; then
@@ -82,6 +82,5 @@ if [ $stage -le 8 ] && [ $stop_stage -ge 8 ]; then
     --test_scp_path $exp/embeddings/test_proc.scp \
     --trials $trials --score_path $exp/scores/plda_adapt.score \
     --model_path $exp/plda_adapt.h5
-  python -m wespeaker_tpu.bin.compute_metrics \
-    --scores $exp/scores/plda_adapt.score
+  python -m wespeaker_tpu.bin.compute_metrics $exp/scores/plda_adapt.score
 fi

@@ -172,3 +172,15 @@ def test_mp_prefetcher_matches_single_process(corpus):
     for b in batches:
         assert b["wav"].shape == (2, 32240)
         assert b["wav"].dtype == np.float32
+
+
+def test_small_worker_stripe_still_fills_batches(corpus):
+    """A worker stripe smaller than the batch must fill batches across
+    epoch boundaries instead of dropping the partial batch every epoch
+    (which would produce nothing forever)."""
+    cfg = {**CFG, "shuffle": False, "speed_perturb": False, "aug_prob": 0.0}
+    ds = SpeakerDataset("raw", corpus["raw_list"], cfg, corpus["spk2id"],
+                        worker_id=0, num_workers=6)  # stripe of 2 utts
+    it = ds.batches(8)  # batch > stripe; repeat=True spans epochs
+    batch = next(it)
+    assert batch["wav"].shape[0] == 8

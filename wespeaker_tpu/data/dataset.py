@@ -105,14 +105,21 @@ class SpeakerDataset:
 
     def batches(self, batch_size: int, max_epochs: Optional[int] = None
                 ) -> Iterator[dict]:
+        """Batches are drawn from one continuous sample stream spanning
+        epochs, so a partial batch at an epoch boundary carries over
+        instead of being dropped — critical for worker stripes smaller
+        than the batch (a per-epoch drop would yield nothing forever)."""
         feat_mode = self.data_type == "feat"
-        epoch = 0
-        while True:
-            yield from P.batch_samples(self._epoch_iter(epoch), batch_size,
-                                       feat_mode)
-            epoch += 1
-            if not self.repeat or (max_epochs and epoch >= max_epochs):
-                return
+
+        def stream():
+            epoch = 0
+            while True:
+                yield from self._epoch_iter(epoch)
+                epoch += 1
+                if not self.repeat or (max_epochs and epoch >= max_epochs):
+                    return
+
+        yield from P.batch_samples(stream(), batch_size, feat_mode)
 
     def num_classes(self) -> int:
         n = len(self.spk2id)

@@ -37,12 +37,15 @@ class DynamicBatcher:
 
     def __init__(self, embed_fn, max_batch: int = 16, max_wait_ms: float = 5,
                  quantum_samples: int = 16000,
-                 max_samples: int = 16000 * 120):
+                 max_samples: int = 16000 * 120, min_samples: int = 400):
         self.embed_fn = embed_fn
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
         self.quantum = quantum_samples
         self.max_samples = max_samples
+        # shorter than one fbank window would mask out every frame and
+        # produce NaN embeddings — reject instead
+        self.min_samples = min_samples
         self.q: "queue.Queue" = queue.Queue()
         self._stop = False
         self.thread = threading.Thread(target=self._worker, daemon=True)
@@ -50,9 +53,16 @@ class DynamicBatcher:
 
     def embed(self, wav: np.ndarray) -> np.ndarray:
         """Blocking: enqueue one utterance, wait for its embedding."""
+        wav = np.asarray(wav, np.float32)
+        if wav.size < self.min_samples:
+            raise ValueError(
+                f"waveform too short: {wav.size} < {self.min_samples} "
+                "samples (one analysis window)")
+        if self._stop:
+            raise RuntimeError("batcher closed")
         done = threading.Event()
         slot = {}
-        self.q.put((np.asarray(wav, np.float32), slot, done))
+        self.q.put((wav, slot, done))
         done.wait()
         if "error" in slot:
             raise RuntimeError(slot["error"])
@@ -62,6 +72,17 @@ class DynamicBatcher:
         self._stop = True
         self.q.put(None)
         self.thread.join(timeout=5)
+        # fail any requests still queued so their handler threads unblock
+        while True:
+            try:
+                item = self.q.get_nowait()
+            except queue.Empty:
+                break
+            if item is None:
+                continue
+            _, slot, done = item
+            slot["error"] = "batcher closed"
+            done.set()
 
     def _drain_group(self, first):
         group = [first]
@@ -75,6 +96,7 @@ class DynamicBatcher:
             except queue.Empty:
                 break
             if item is None:
+                self.q.put(item)  # re-emit so the worker loop sees stop
                 break
             group.append(item)
         return group
@@ -208,7 +230,13 @@ def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
                                           "this model's frontend"})
                         return
                     wav, sr = _decode_wav_body(body, ctype)
-                    merged = diarize_fn(np.asarray(wav, np.float32), sr)
+                    wav = np.asarray(wav, np.float32)
+                    if sr != resample_rate:
+                        from wespeaker_tpu.data.pipeline import \
+                            resample_array
+                        wav, sr = (resample_array(wav, sr, resample_rate),
+                                   resample_rate)
+                    merged = diarize_fn(wav, sr)
                     self._reply(200, {"segments": [
                         {"begin": round(float(b), 3),
                          "end": round(float(e), 3),
@@ -216,8 +244,16 @@ def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
                         for (_, b, e, lab) in merged]})
                 elif self.path == "/similarity":
                     obj = json.loads(body)
-                    e1 = batcher.embed(np.asarray(obj["wav1"], np.float32))
-                    e2 = batcher.embed(np.asarray(obj["wav2"], np.float32))
+                    sr = int(obj.get("sample_rate", resample_rate))
+                    w1 = np.asarray(obj["wav1"], np.float32)
+                    w2 = np.asarray(obj["wav2"], np.float32)
+                    if sr != resample_rate:
+                        from wespeaker_tpu.data.pipeline import \
+                            resample_array
+                        w1 = resample_array(w1, sr, resample_rate)
+                        w2 = resample_array(w2, sr, resample_rate)
+                    e1 = batcher.embed(w1)
+                    e2 = batcher.embed(w2)
                     cos = float(np.dot(e1, e2)
                                 / (np.linalg.norm(e1) * np.linalg.norm(e2)
                                    + 1e-12))
