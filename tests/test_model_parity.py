@@ -198,6 +198,21 @@ def test_redimnet_b3_fwse():
     _parity("ReDimNetB3", embed_dim=192, F=72, T=96, tol=5e-4)
 
 
+def test_redimnet_gru_time_context_block():
+    """'gru' variant recurs over time: permuting the batch must not change
+    per-sample outputs (the reference's batch_first quirk would)."""
+    import jax.numpy as jnp
+    from wespeaker_tpu.models.redimnet import TimeContextBlock1d
+
+    block = TimeContextBlock1d(C=24, hC=12, block_type="gru")
+    x = np.random.default_rng(0).normal(size=(3, 20, 24)).astype(np.float32)
+    variables = block.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y = np.asarray(block.apply(variables, jnp.asarray(x)))
+    assert y.shape == x.shape and np.isfinite(y).all()
+    y_perm = np.asarray(block.apply(variables, jnp.asarray(x[::-1])))
+    np.testing.assert_allclose(y_perm, y[::-1], atol=1e-5)
+
+
 def test_w2vbert_adapter_mfa():
     import torch
     import jax.numpy as jnp

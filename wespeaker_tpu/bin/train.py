@@ -221,6 +221,8 @@ def train(config: str, overrides=None, **kwargs):
                                                            "config.yaml"))
 
     log_interval = configs.get("log_batch_interval", 100)
+    save_interval = configs.get("save_epoch_interval", 1)
+    num_avg = configs.get("num_avg", 1)
     num_workers = configs.get("dataloader_args", {}).get("num_workers", 0)
     if num_workers > 0:
         prefetch = MPPrefetcher(
@@ -247,13 +249,22 @@ def train(config: str, overrides=None, **kwargs):
                     f"lr {float(m['lr']):.6f} margin "
                     f"{float(m['margin']):.3f}")
         logger.info(f"epoch {epoch} done in {time.time() - t0:.1f}s")
-        if rank == 0:
+        # save every save_epoch_interval epochs plus the last num_avg epochs
+        # (averaging window), reference train.py:252-257
+        if rank == 0 and (epoch % save_interval == 0
+                          or epoch >= num_epochs - num_avg):
             variables = jax.device_get(
                 {"params": state.params["model"],
                  "batch_stats": state.batch_stats,
                  "projection": state.params["projection"]})
             ckpt.save_checkpoint(
                 os.path.join(model_dir, f"model_{epoch}.ckpt"), variables)
+    if rank == 0 and num_epochs > start_epoch:
+        # reference symlinks final_model.pt to the last epoch (train.py:259)
+        final = os.path.join(model_dir, "final_model.ckpt")
+        if os.path.lexists(final):
+            os.remove(final)
+        os.symlink(f"model_{num_epochs - 1}.ckpt", final)
     if hasattr(prefetch, "close"):
         prefetch.close()
     return state

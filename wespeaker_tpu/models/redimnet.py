@@ -14,8 +14,8 @@ Sequential indices so checkpoints convert mechanically; the learned
 inputs_weights keep their torch shape (1, n, C*F, 1) and are transposed
 in-model.
 
-The 'gru' time-context variant is not implemented (no released ReDimNet
-config uses it); 'fc', 'att' and 'conv+att' are.
+All four time-context variants ('fc', 'gru', 'att', 'conv+att') are
+implemented; 'gru' recurs over time (see BiGRU for the reference quirk).
 """
 
 import math
@@ -179,6 +179,25 @@ class TransformerEncoderLayer(nn.Module):
         return nn.LayerNorm(epsilon=1e-6, name="final_layer_norm")(x)
 
 
+class BiGRU(nn.Module):
+    """Bidirectional single-layer GRU over time, (B, T, C) -> (B, T, 2C).
+
+    The reference's 'gru' block (wespeaker/models/redimnet.py:107-115,
+    564-575) constructs nn.GRU(batch_first=False) but feeds it (B, T, C),
+    so torch recurs over the *batch* axis — an apparent bug no released
+    config exercises. We implement the intended semantics: recurrence
+    over the time axis.
+    """
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        fwd = nn.RNN(nn.GRUCell(self.hidden), name="fwd")
+        bwd = nn.RNN(nn.GRUCell(self.hidden), reverse=True,
+                     keep_order=True, name="bwd")
+        return jnp.concatenate([fwd(x), bwd(x)], axis=-1)
+
+
 class TimeContextBlock1d(nn.Module):
     """(B, T, C) residual time-context block."""
     C: int
@@ -199,6 +218,9 @@ class TimeContextBlock1d(nn.Module):
             h = PosEncConv(self.hC, self.pos_ker_sz, name="tcm_0")(h)
             h = TransformerEncoderLayer(self.hC, self.hC * 2, 4,
                                         name="tcm_1")(h)
+        elif self.block_type == "gru":
+            h = BiGRU(self.hC, name="tcm_0")(h)
+            h = conv1d(self.hC, 1, name="tcm_1")(h)
         elif self.block_type == "conv+att":
             for i, ks in enumerate((7, 19, 31, 59)):
                 h = ConvNeXtLikeBlock1d(self.hC, (ks,), 1,
