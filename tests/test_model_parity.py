@@ -198,6 +198,29 @@ def test_redimnet_b3_fwse():
     _parity("ReDimNetB3", embed_dim=192, F=72, T=96, tol=5e-4)
 
 
+def test_bigru_matches_torch_gru():
+    """Converted torch nn.GRU weights reproduce torch's bidirectional GRU
+    (run over the time axis, i.e. the reference block's intended math)."""
+    import torch
+    import jax.numpy as jnp
+    from wespeaker_tpu.models.redimnet import BiGRU
+    from wespeaker_tpu.utils.torch_compat import torch_to_flax_variables
+
+    torch.manual_seed(0)
+    tg = torch.nn.GRU(input_size=6, hidden_size=5, num_layers=1, bias=True,
+                      batch_first=True, bidirectional=True).eval()
+    x = np.random.default_rng(0).normal(size=(2, 9, 6)).astype(np.float32)
+    with torch.no_grad():
+        want = tg(torch.from_numpy(x))[0].numpy()  # (B, T, 2H)
+
+    model = BiGRU(5)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 9, 6)))
+    sd = {f"gru.{k}": v for k, v in tg.state_dict().items()}
+    variables = torch_to_flax_variables(sd, variables)
+    got = np.asarray(model.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_redimnet_gru_time_context_block():
     """'gru' variant recurs over time: permuting the batch must not change
     per-sample outputs (the reference's batch_first quirk would)."""

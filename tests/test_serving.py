@@ -162,3 +162,52 @@ def test_http_diarize_endpoint(embed_setup):
         assert ei.value.code == 501
     finally:
         server.close()
+
+
+def test_server_resamples_to_model_rate():
+    """A model trained at 8 kHz (sre recipes) must receive 8 kHz audio:
+    the server resamples request audio to dataset_args.resample_rate."""
+    seen = {}
+
+    def capture_embed(wavs, mask):
+        seen["n"] = int(mask[0].sum())
+        return np.ones((wavs.shape[0], 8), np.float32)
+
+    cfg = {"dataset_args": {"resample_rate": 8000}}
+    server = EmbeddingServer(cfg, "", port=0, embed_fn=capture_embed,
+                             max_wait_ms=2).start()
+    try:
+        wav = np.random.default_rng(0).uniform(
+            -0.5, 0.5, 16000).astype(np.float32)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/embed",
+            data=json.dumps({"wav": wav.tolist(),
+                             "sample_rate": 16000}).encode(),
+            headers={"Content-Type": "application/json"})
+        urllib.request.urlopen(req, timeout=30).read()
+        assert abs(seen["n"] - 8000) <= 16, seen  # 1 s at the model rate
+    finally:
+        server.close()
+
+
+def test_batcher_close_unblocks_and_rejects():
+    """close() must fail queued waiters and later embed() calls instead of
+    hanging them."""
+    import time as _time
+
+    def slow_embed(wavs, mask):
+        _time.sleep(0.2)
+        return np.zeros((wavs.shape[0], 4), np.float32)
+
+    b = DynamicBatcher(slow_embed, max_batch=2, max_wait_ms=1,
+                       quantum_samples=800)
+    with concurrent.futures.ThreadPoolExecutor(3) as ex:
+        futs = [ex.submit(b.embed, np.zeros(800, np.float32))
+                for _ in range(3)]
+        _time.sleep(0.05)
+        b.close()
+        done = sum(1 for f in futs if not isinstance(
+            f.exception(timeout=10), type(None)) or f.result() is not None)
+    assert done == 3  # every request either answered or errored, none hung
+    with pytest.raises(RuntimeError):
+        b.embed(np.zeros(800, np.float32))

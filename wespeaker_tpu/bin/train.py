@@ -250,21 +250,23 @@ def train(config: str, overrides=None, **kwargs):
                     f"{float(m['margin']):.3f}")
         logger.info(f"epoch {epoch} done in {time.time() - t0:.1f}s")
         # save every save_epoch_interval epochs plus the last num_avg epochs
-        # (averaging window), reference train.py:252-257
-        if rank == 0 and (epoch % save_interval == 0
-                          or epoch >= num_epochs - num_avg):
+        # (averaging window), reference train.py:252-257; the reference
+        # counts epochs from 1, ours from 0, hence epoch + 1
+        if rank == 0 and ((epoch + 1) % save_interval == 0
+                          or epoch + 1 > num_epochs - num_avg):
             variables = jax.device_get(
                 {"params": state.params["model"],
                  "batch_stats": state.batch_stats,
                  "projection": state.params["projection"]})
             ckpt.save_checkpoint(
                 os.path.join(model_dir, f"model_{epoch}.ckpt"), variables)
-    if rank == 0 and num_epochs > start_epoch:
+    last = os.path.join(model_dir, f"model_{num_epochs - 1}.ckpt")
+    if rank == 0 and num_epochs > start_epoch and os.path.exists(last):
         # reference symlinks final_model.pt to the last epoch (train.py:259)
         final = os.path.join(model_dir, "final_model.ckpt")
         if os.path.lexists(final):
             os.remove(final)
-        os.symlink(f"model_{num_epochs - 1}.ckpt", final)
+        os.symlink(os.path.basename(last), final)
     if hasattr(prefetch, "close"):
         prefetch.close()
     return state

@@ -192,9 +192,11 @@ class BiGRU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        fwd = nn.RNN(nn.GRUCell(self.hidden), name="fwd")
-        bwd = nn.RNN(nn.GRUCell(self.hidden), reverse=True,
-                     keep_order=True, name="bwd")
+        # nn.RNN shares scope with its cell, so params live under the
+        # cell names 'fwd'/'bwd'
+        fwd = nn.RNN(nn.GRUCell(self.hidden, name="fwd"))
+        bwd = nn.RNN(nn.GRUCell(self.hidden, name="bwd"), reverse=True,
+                     keep_order=True)
         return jnp.concatenate([fwd(x), bwd(x)], axis=-1)
 
 

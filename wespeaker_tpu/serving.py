@@ -37,7 +37,8 @@ class DynamicBatcher:
 
     def __init__(self, embed_fn, max_batch: int = 16, max_wait_ms: float = 5,
                  quantum_samples: int = 16000,
-                 max_samples: int = 16000 * 120, min_samples: int = 400):
+                 max_samples: int = 16000 * 120, min_samples: int = 400,
+                 reply_timeout_s: float = 300.0):
         self.embed_fn = embed_fn
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
@@ -46,8 +47,12 @@ class DynamicBatcher:
         # shorter than one fbank window would mask out every frame and
         # produce NaN embeddings — reject instead
         self.min_samples = min_samples
+        self.reply_timeout_s = reply_timeout_s
         self.q: "queue.Queue" = queue.Queue()
         self._stop = False
+        # orders enqueues against close(): an item put under the lock is
+        # always ahead of the stop sentinel, so the worker drains it
+        self._stop_lock = threading.Lock()
         self.thread = threading.Thread(target=self._worker, daemon=True)
         self.thread.start()
 
@@ -58,19 +63,22 @@ class DynamicBatcher:
             raise ValueError(
                 f"waveform too short: {wav.size} < {self.min_samples} "
                 "samples (one analysis window)")
-        if self._stop:
-            raise RuntimeError("batcher closed")
         done = threading.Event()
         slot = {}
-        self.q.put((wav, slot, done))
-        done.wait()
+        with self._stop_lock:
+            if self._stop:
+                raise RuntimeError("batcher closed")
+            self.q.put((wav, slot, done))
+        if not done.wait(timeout=self.reply_timeout_s) and not slot:
+            raise RuntimeError("embed timed out")
         if "error" in slot:
             raise RuntimeError(slot["error"])
         return slot["embedding"]
 
     def close(self):
-        self._stop = True
-        self.q.put(None)
+        with self._stop_lock:
+            self._stop = True
+            self.q.put(None)
         self.thread.join(timeout=5)
         # fail any requests still queued so their handler threads unblock
         while True:
@@ -147,10 +155,14 @@ def build_embed_fn(configs: dict, checkpoint_path: str):
     from wespeaker_tpu.train import make_eval_embed_fn
 
     built, variables = load_model_for_eval(configs, checkpoint_path)
-    fbank_args = configs.get("dataset_args", {}).get("fbank_args", {})
+    dataset_args = configs.get("dataset_args", {})
+    fbank_args = dataset_args.get("fbank_args", {})
     fbank_cfg = FbankConfig(
         num_mel_bins=fbank_args.get(
             "num_mel_bins", configs["model_args"].get("feat_dim", 80)),
+        frame_length_ms=fbank_args.get("frame_length", 25),
+        frame_shift_ms=fbank_args.get("frame_shift", 10),
+        sample_rate=dataset_args.get("resample_rate", 16000),
         dither=0.0)
     fn = jax.jit(make_eval_embed_fn(built.model, fbank_cfg,
                                     featurize_fn=built.featurize_eval))
@@ -177,7 +189,7 @@ def build_embed_fn(configs: dict, checkpoint_path: str):
     return embed, diarize
 
 
-def _decode_wav_body(body: bytes, content_type: str):
+def _decode_wav_body(body: bytes, content_type: str, default_sr: int):
     from wespeaker_tpu.data.wav_io import read_wav
     if content_type.startswith("audio/"):
         wav, sr = read_wav(bytes(body))
@@ -186,12 +198,19 @@ def _decode_wav_body(body: bytes, content_type: str):
         return wav, sr
     obj = json.loads(body)
     return (np.asarray(obj["wav"], np.float32),
-            int(obj.get("sample_rate", 16000)))
+            int(obj.get("sample_rate", default_sr)))
 
 
 def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
                 port: int = 8086, resample_rate: int = 16000,
                 diarize_fn=None):
+    def to_model_rate(wav, sr):
+        wav = np.asarray(wav, np.float32)
+        if sr == resample_rate:
+            return wav
+        from wespeaker_tpu.data.pipeline import resample_array
+        return resample_array(wav, sr, resample_rate)
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet
             pass
@@ -216,12 +235,8 @@ def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
                 body = self.rfile.read(n)
                 ctype = self.headers.get("Content-Type", "application/json")
                 if self.path == "/embed":
-                    wav, sr = _decode_wav_body(body, ctype)
-                    if sr != resample_rate:
-                        from wespeaker_tpu.data.pipeline import \
-                            resample_array
-                        wav = resample_array(wav, sr, resample_rate)
-                    emb = batcher.embed(wav)
+                    wav, sr = _decode_wav_body(body, ctype, resample_rate)
+                    emb = batcher.embed(to_model_rate(wav, sr))
                     self._reply(200, {"embedding": emb.tolist()})
                 elif self.path == "/diarize":
                     if diarize_fn is None:
@@ -229,14 +244,9 @@ def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
                                           "diarization unavailable for "
                                           "this model's frontend"})
                         return
-                    wav, sr = _decode_wav_body(body, ctype)
-                    wav = np.asarray(wav, np.float32)
-                    if sr != resample_rate:
-                        from wespeaker_tpu.data.pipeline import \
-                            resample_array
-                        wav, sr = (resample_array(wav, sr, resample_rate),
-                                   resample_rate)
-                    merged = diarize_fn(wav, sr)
+                    wav, sr = _decode_wav_body(body, ctype, resample_rate)
+                    merged = diarize_fn(to_model_rate(wav, sr),
+                                        resample_rate)
                     self._reply(200, {"segments": [
                         {"begin": round(float(b), 3),
                          "end": round(float(e), 3),
@@ -245,15 +255,8 @@ def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
                 elif self.path == "/similarity":
                     obj = json.loads(body)
                     sr = int(obj.get("sample_rate", resample_rate))
-                    w1 = np.asarray(obj["wav1"], np.float32)
-                    w2 = np.asarray(obj["wav2"], np.float32)
-                    if sr != resample_rate:
-                        from wespeaker_tpu.data.pipeline import \
-                            resample_array
-                        w1 = resample_array(w1, sr, resample_rate)
-                        w2 = resample_array(w2, sr, resample_rate)
-                    e1 = batcher.embed(w1)
-                    e2 = batcher.embed(w2)
+                    e1 = batcher.embed(to_model_rate(obj["wav1"], sr))
+                    e2 = batcher.embed(to_model_rate(obj["wav2"], sr))
                     cos = float(np.dot(e1, e2)
                                 / (np.linalg.norm(e1) * np.linalg.norm(e2)
                                    + 1e-12))
@@ -280,10 +283,13 @@ class EmbeddingServer:
         if embed_fn is None:
             embed_fn, built_diar = build_embed_fn(configs, checkpoint_path)
             diarize_fn = diarize_fn or built_diar
+        rate = configs.get("dataset_args", {}).get("resample_rate", 16000)
         self.batcher = DynamicBatcher(
-            embed_fn, max_batch=max_batch, max_wait_ms=max_wait_ms)
+            embed_fn, max_batch=max_batch, max_wait_ms=max_wait_ms,
+            quantum_samples=rate, max_samples=rate * 120,
+            min_samples=int(rate * 0.025))
         self.httpd = make_server(self.batcher, host, port,
-                                 diarize_fn=diarize_fn)
+                                 resample_rate=rate, diarize_fn=diarize_fn)
         self.port = self.httpd.server_address[1]
         self._thread = None
 

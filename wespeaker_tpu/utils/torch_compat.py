@@ -73,6 +73,45 @@ def _convert_leaf(torch_arr: np.ndarray, leaf: str, flax_shape):
     return arr
 
 
+def expand_torch_gru_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Split torch nn.GRU packed params into per-gate flax GRUCell leaves.
+
+    torch packs (W_ir|W_iz|W_in) as `<m>.weight_ih_l0` (3H, C) etc.; our
+    BiGRU holds nn.RNN(GRUCell) under fwd/bwd. Gate math mapping (torch
+    r = sig(W_ir x + b_ir + W_hr h + b_hr) vs flax r = sig(ir(x) + hr(h))
+    with hr/hz bias-free): b_hr/b_hz fold into the ir/iz biases; b_hn maps
+    to hn.bias (flax n = tanh(in(x) + r * hn(h)) matches torch). Emitted
+    keys stay in torch (O, I) layout for the generic kernel transpose.
+    """
+    out = dict(sd)
+    for key in list(sd):
+        m = re.match(r"(.*)\.weight_ih_l0(_reverse)?$", key)
+        if not m:
+            continue
+        prefix, rev = m.group(1), m.group(2) or ""
+        direction = "bwd" if rev else "fwd"
+        hid = sd[key].shape[0] // 3
+        gates = {"r": slice(0, hid), "z": slice(hid, 2 * hid),
+                 "n": slice(2 * hid, 3 * hid)}
+        w_ih = out.pop(f"{prefix}.weight_ih_l0{rev}")
+        w_hh = out.pop(f"{prefix}.weight_hh_l0{rev}")
+        b_ih = out.pop(f"{prefix}.bias_ih_l0{rev}", np.zeros(3 * hid,
+                                                             w_ih.dtype))
+        b_hh = out.pop(f"{prefix}.bias_hh_l0{rev}", np.zeros(3 * hid,
+                                                             w_ih.dtype))
+        # torch module is `<prefix>.gru`; our BiGRU sits at `<prefix>`
+        stem = re.sub(r"(^|\.)gru$", "", prefix)
+        base = (f"{stem}." if stem else "") + direction
+        for g, sl in gates.items():
+            out[f"{base}.i{g}.weight"] = w_ih[sl]
+            out[f"{base}.h{g}.weight"] = w_hh[sl]
+        out[f"{base}.ir.bias"] = b_ih[gates["r"]] + b_hh[gates["r"]]
+        out[f"{base}.iz.bias"] = b_ih[gates["z"]] + b_hh[gates["z"]]
+        out[f"{base}.in.bias"] = b_ih[gates["n"]]
+        out[f"{base}.hn.bias"] = b_hh[gates["n"]]
+    return out
+
+
 def torch_to_flax_variables(
     state_dict: Mapping[str, "np.ndarray"],
     flax_variables,
@@ -89,6 +128,8 @@ def torch_to_flax_variables(
         if hasattr(v, "detach"):
             v = v.detach().cpu().numpy()
         sd[k] = np.asarray(v)
+    if any("weight_ih_l0" in k for k in sd):
+        sd = expand_torch_gru_keys(sd)
 
     from flax.linen import meta as nn_meta
 
