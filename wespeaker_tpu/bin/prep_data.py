@@ -188,6 +188,18 @@ def generate_calibration_trial(utt2spk, out_trials, num_target=1000,
     return out_trials
 
 
+def make_feat_list(feat_scp, utt2spk, out_list):
+    """feats.scp + utt2spk -> validated feat list (tools/make_feat_list.py
+    equivalent; our data_type='feat' consumes scp lines directly, so this
+    just checks every key has a speaker and filters to the intersection)."""
+    u2s = read_utt2spk(utt2spk)
+    with open(out_list, "w") as fout:
+        for key, path in read_scp(feat_scp):
+            if key not in u2s:
+                raise KeyError(f"{key} missing from utt2spk")
+            fout.write(f"{key} {path}\n")
+
+
 def main():
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -213,6 +225,10 @@ def main():
     t = sub.add_parser("calibration_trial")
     t.add_argument("--utt2spk", required=True)
     t.add_argument("--out_trials", required=True)
+    fl = sub.add_parser("feat")
+    fl.add_argument("--feat_scp", required=True)
+    fl.add_argument("--utt2spk", required=True)
+    fl.add_argument("--out_list", required=True)
     v = sub.add_parser("vector_mean")
     v.add_argument("--spk2utt", required=True)
     v.add_argument("--xvector_scp", required=True)
@@ -230,6 +246,8 @@ def main():
                        max_duration_s=args.max_duration_s)
     elif args.cmd == "wav2dur":
         wav2dur(args.wav_scp, args.out)
+    elif args.cmd == "feat":
+        make_feat_list(args.feat_scp, args.utt2spk, args.out_list)
     elif args.cmd == "vector_mean":
         vector_mean(args.spk2utt, args.xvector_scp, args.out_prefix)
     else:
