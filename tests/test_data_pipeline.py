@@ -184,3 +184,19 @@ def test_small_worker_stripe_still_fills_batches(corpus):
     it = ds.batches(8)  # batch > stripe; repeat=True spans epochs
     batch = next(it)
     assert batch["wav"].shape[0] == 8
+
+
+def test_parse_raw_pipe_command(corpus, tmp_path):
+    """kaldi-style 'cmd |' wav entries (sre GSM-codec recipes) stream the
+    command's stdout as a RIFF wav (reference parse_raw:129-136)."""
+    import wespeaker_tpu.data.pipeline as P
+
+    path = json.loads(open(corpus["raw_list"]).readline())["wav"]
+    lines = [
+        json.dumps({"key": "piped", "spk": "spk0", "wav": f"cat {path} |"}),
+        json.dumps({"key": "direct", "spk": "spk0", "wav": path}),
+    ]
+    piped, direct = list(P.parse_raw(lines))
+    assert piped["key"] == "piped"
+    np.testing.assert_array_equal(piped["wav"], direct["wav"])
+    assert piped["sample_rate"] == direct["sample_rate"]

@@ -67,6 +67,15 @@ class SpeakerDataset:
                     utt2spk[u] = s
             data = P.parse_feat(lists, utt2spk)
 
+        if self.train and cfg.get("filter", True):
+            # reference order: filter right after parse (dataset.py:60-68),
+            # before speed perturb — thresholds scale with the sample's own
+            # rate so running pre-resample is equivalent
+            fbank_args = cfg.get("fbank_args", {})
+            data = P.filter_and_cap(
+                data, cfg.get("filter_args", {}).get("min_num_frames", 100),
+                cfg.get("filter_args", {}).get("max_num_frames", 800),
+                fbank_args.get("frame_shift", 10), rng, feat_mode)
         if not feat_mode:
             data = P.resample(data, cfg.get("resample_rate", 16000))
         if self.train and cfg.get("shuffle", True):
@@ -85,10 +94,6 @@ class SpeakerDataset:
             fbank_args = cfg.get("fbank_args", {})
             frame_shift = fbank_args.get("frame_shift", 10)
             frame_length = fbank_args.get("frame_length", 25)
-            data = P.filter_and_cap(
-                data, cfg.get("filter_args", {}).get("min_num_frames", 100),
-                cfg.get("filter_args", {}).get("max_num_frames", 800),
-                frame_shift, rng, feat_mode)
             num_frms = cfg.get("num_frms", 200)
             if feat_mode:
                 chunk_len = num_frms

@@ -2,8 +2,9 @@
 
 Behavioral spec: wespeaker/dataset/processor.py and dataset.py — generator
 chain: global list shuffle -> parse (tar shard / jsonl raw / kaldi feat) ->
-resample -> local shuffle -> spk2id -> filter -> speed-perturb (labels offset
-by num_spks * speed_idx) -> random chunk (repeat-pad) -> reverb/noise aug.
+filter (drop short / cap long) -> resample -> local shuffle -> spk2id ->
+speed-perturb (labels offset by num_spks * speed_idx) -> random chunk
+(repeat-pad) -> reverb/noise aug.
 
 Differences by design (documented):
   - pure numpy on host; fbank/CMVN/spec-aug happen on-device in the train
@@ -55,12 +56,24 @@ def distributed_shard(lists: List[str], *, epoch: int = 0, shuffle: bool = True,
     return data[worker_id::num_workers]
 
 
+def read_audio_any(src: str):
+    """Path, or kaldi-style pipe command ('sox ... |') whose stdout is a
+    RIFF wav (processor.py parse_raw:129-136) — the sre recipes feed
+    GSM-codec audio through such pipes."""
+    if src.endswith("|"):
+        import subprocess
+        data = subprocess.run(src[:-1], shell=True, check=True,
+                              stdout=subprocess.PIPE).stdout
+        return read_wav(data)
+    return read_wav(src)
+
+
 def parse_raw(lines: Iterable[str]) -> Iterator[dict]:
     """jsonl: {"key","wav","spk"(, "vad":[[s,e],...] seconds)}."""
     for line in lines:
         obj = json.loads(line)
         try:
-            wav, sr = read_wav(obj["wav"])
+            wav, sr = read_audio_any(obj["wav"])
         except Exception:
             continue
         if wav.ndim > 1:
