@@ -205,7 +205,18 @@ class MPPrefetcher:
     def __iter__(self):
         live = len(self.procs)
         while live:
-            kind, payload = self.q.get()
+            try:
+                kind, payload = self.q.get(timeout=60)
+            except queue.Empty:
+                # a worker killed by the OS (OOM) never posts 'done';
+                # fail loudly instead of blocking the train loop forever
+                dead = [p.exitcode for p in self.procs
+                        if not p.is_alive() and p.exitcode != 0]
+                if dead and self.q.empty():
+                    self.close()
+                    raise RuntimeError(
+                        f"data worker(s) died with exit codes {dead}")
+                continue
             if kind == "done":
                 live -= 1
             elif kind == "error":
