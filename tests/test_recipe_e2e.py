@@ -223,3 +223,62 @@ def test_sre_v3_embd_proc_chain_stages(tmp_path):
         str(tmp_path / "plda_adapt.score"), str(tmp_path / "plda_adapt.h5"))
     with open(scores) as f:
         assert len(f.readlines()) == len(lines)
+
+
+def test_8k_rate_plumbing(tmp_path):
+    """An 8 kHz model (sre recipes): resample_rate must reach the device
+    fbank (frame geometry) in train AND extract, and 16 kHz eval wavs must
+    be resampled down — embeddings from a 16 kHz file must match the same
+    audio delivered at 8 kHz."""
+    from wespeaker_tpu.bin.extract import extract as bin_extract
+    from wespeaker_tpu.data.pipeline import resample_array
+    from wespeaker_tpu.data.wav_io import write_wav
+    from wespeaker_tpu.utils.kaldi_io import read_vec_scp_dict
+
+    rng = np.random.default_rng(0)
+    wav16 = rng.uniform(-0.3, 0.3, 16000 * 2).astype(np.float32)
+    wav8 = resample_array(wav16, 16000, 8000)
+    write_wav(tmp_path / "a16.wav", wav16, 16000)
+    write_wav(tmp_path / "a8.wav", wav8, 8000)
+    raw_list = tmp_path / "raw.list"
+    with open(raw_list, "w") as f:
+        f.write(json.dumps({"key": "u16", "spk": "s0",
+                            "wav": str(tmp_path / "a16.wav")}) + "\n")
+        f.write(json.dumps({"key": "u8", "spk": "s0",
+                            "wav": str(tmp_path / "a8.wav")}) + "\n")
+    utt2spk = tmp_path / "utt2spk"
+    utt2spk.write_text("u16 s0\nu8 s0\n")
+
+    exp_dir = tmp_path / "exp"
+    config = {
+        "exp_dir": str(exp_dir), "data_type": "raw",
+        "train_data": str(raw_list), "utt2spk": str(utt2spk),
+        "num_epochs": 1, "log_batch_interval": 5,
+        "model": "ECAPA_TDNN",
+        "model_args": {"feat_dim": 40, "embed_dim": 32, "channels": 32},
+        "projection_args": {"project_type": "softmax"},
+        "optimizer": "SGD", "optimizer_args": {"momentum": 0.9},
+        "scheduler_args": {"initial_lr": 0.01, "final_lr": 0.01,
+                           "warm_up_epoch": 1},
+        "dataset_args": {
+            "batch_size": 2, "num_frms": 100, "shuffle": False,
+            "speed_perturb": False, "aug_prob": 0.0, "spec_aug": False,
+            "resample_rate": 8000,
+            "fbank_args": {"num_mel_bins": 40, "dither": 0.0},
+            "filter_args": {"min_num_frames": 50, "max_num_frames": 400},
+        },
+        "seed": 7,
+    }
+    config_path = tmp_path / "config.yaml"
+    with open(config_path, "w") as f:
+        yaml.safe_dump(config, f)
+    bin_train(str(config_path))
+
+    scp = bin_extract(str(exp_dir / "config.yaml"),
+                      str(exp_dir / "models" / "model_0.ckpt"),
+                      str(raw_list), str(tmp_path / "emb"))
+    embs = read_vec_scp_dict(scp)
+    e16, e8 = embs["u16"], embs["u8"]
+    cos = float(np.dot(e16, e8)
+                / (np.linalg.norm(e16) * np.linalg.norm(e8)))
+    assert cos > 0.999, cos  # same audio through either delivery rate

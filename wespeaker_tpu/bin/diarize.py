@@ -28,7 +28,14 @@ def diarize(config, checkpoint_path, wav_scp, out_rttm, sad_rttm=None,
     built, variables = load_model_for_eval(configs, checkpoint_path)
     model = built.model
     feat_dim = configs["model_args"].get("feat_dim", 80)
-    fbank_cfg = FbankConfig(num_mel_bins=feat_dim, dither=0.0)
+    dataset_args = configs.get("dataset_args", {})
+    fbank_args = dataset_args.get("fbank_args", {})
+    rate = dataset_args.get("resample_rate", 16000)
+    fbank_cfg = FbankConfig(
+        num_mel_bins=fbank_args.get("num_mel_bins", feat_dim),
+        frame_length_ms=fbank_args.get("frame_length", 25),
+        frame_shift_ms=fbank_args.get("frame_shift", 10),
+        sample_rate=rate, dither=0.0)
     fwd = jax.jit(lambda feats: model.apply(variables, feats, train=False))
 
     def embed_batch(banks):
@@ -43,6 +50,9 @@ def diarize(config, checkpoint_path, wav_scp, out_rttm, sad_rttm=None,
                 wav, sr = read_wav(path)
                 if wav.ndim > 1:
                     wav = wav[0]
+                if sr != rate:
+                    from wespeaker_tpu.data.pipeline import resample_array
+                    wav, sr = resample_array(wav, sr, rate), rate
                 merged, _ = diarize_wav(
                     utt, wav, sr, embed_batch,
                     sad_segments=oracle.get(utt),

@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from wespeaker_tpu.data.dataset import eval_batches
-from wespeaker_tpu.data.wav_io import read_wav
 from wespeaker_tpu.frontend import FbankConfig
 from wespeaker_tpu.train import make_eval_embed_fn
 from wespeaker_tpu.train.composite import build_model
@@ -40,16 +39,19 @@ def load_model_for_eval(configs, checkpoint_path):
                    "batch_stats": loaded.get("batch_stats", {})}
 
 
-def iter_wavs_from_list(data_list):
+def iter_wavs_from_list(data_list, target_rate=16000):
+    from wespeaker_tpu.data.pipeline import read_audio_any, resample_array
     with open(data_list) as f:
         for line in f:
             obj = json.loads(line)
-            wav, sr = read_wav(obj["wav"])
+            wav, sr = read_audio_any(obj["wav"])
             if wav.ndim > 1:
                 wav = wav[0]
             if "vad" in obj and obj["vad"]:
                 segs = [wav[int(s * sr):int(e * sr)] for s, e in obj["vad"]]
                 wav = np.concatenate(segs) if segs else wav
+            if sr != target_rate:
+                wav = resample_array(wav, sr, target_rate)
             yield obj["key"], wav
 
 
@@ -69,24 +71,28 @@ def extract(config, checkpoint_path, data_list, out_prefix, batch_size=8,
             lambda a: (a.astype(jnp.bfloat16)
                        if a.dtype == jnp.float32 else a), variables)
 
-    fbank_args = configs.get("dataset_args", {}).get("fbank_args", {})
+    dataset_args = configs.get("dataset_args", {})
+    fbank_args = dataset_args.get("fbank_args", {})
+    rate = dataset_args.get("resample_rate", 16000)
     fbank_cfg = FbankConfig(
         num_mel_bins=fbank_args.get("num_mel_bins",
                                     configs["model_args"].get("feat_dim", 80)),
         frame_length_ms=fbank_args.get("frame_length", 25),
         frame_shift_ms=fbank_args.get("frame_shift", 10),
+        sample_rate=rate,
         dither=0.0)
     embed_fn = jax.jit(make_eval_embed_fn(
         built.model, fbank_cfg, featurize_fn=built.featurize_eval,
         compute_dtype=compute_dtype))
 
     def wavs():
-        for i, item in enumerate(iter_wavs_from_list(data_list)):
+        for i, item in enumerate(iter_wavs_from_list(data_list, rate)):
             if i % num_splits == split_index:
                 yield item
 
     def items():
-        for batch in eval_batches(wavs(), batch_size=batch_size):
+        for batch in eval_batches(wavs(), batch_size=batch_size,
+                                  quantum_samples=rate):
             emb = np.asarray(embed_fn(variables, {
                 "wav": jnp.asarray(batch["wav"]),
                 "mask": jnp.asarray(batch["mask"])}))

@@ -113,7 +113,11 @@ def train(config: str, overrides=None, **kwargs):
         _frontend_frozen_mask
         if getattr(model, "frozen_frontend", False) else None)
 
-    batch_size = dataset_args.get("batch_size", 64)
+    # our configs put batch_size in dataset_args; reference YAMLs put it in
+    # dataloader_args (reference train.py:99) — accept both
+    batch_size = dataset_args.get(
+        "batch_size", configs.get("dataloader_args", {}).get("batch_size",
+                                                             64))
     # batch is sharded over the 'data' axis only; with a model axis the
     # per-device batch rides each model group
     global_batch = batch_size * mesh.shape["data"]
@@ -148,6 +152,7 @@ def train(config: str, overrides=None, **kwargs):
         num_mel_bins=fbank_args.get("num_mel_bins", feat_dim),
         frame_length_ms=fbank_args.get("frame_length", 25),
         frame_shift_ms=fbank_args.get("frame_shift", 10),
+        sample_rate=dataset_args.get("resample_rate", 16000),
         dither=fbank_args.get("dither", 1.0))
     aug = AugConfig(**dataset_args.get("spec_aug_args", {})) \
         if dataset_args.get("spec_aug", True) else AugConfig(spec_aug=False)
@@ -182,13 +187,16 @@ def train(config: str, overrides=None, **kwargs):
         # reference's strict=False load (utils/checkpoint.py:33-67)
         variables = {"params": state.params["model"],
                      "batch_stats": state.batch_stats,
-                     "projection": state.params["projection"]}
+                     "projection": state.params["projection"],
+                     "projection_batch_stats": state.proj_stats}
         loaded = ckpt.load_checkpoint(configs["checkpoint"], variables)
         state = state.replace(
             params={"model": loaded["params"],
                     "projection": loaded.get("projection",
                                              state.params["projection"])},
-            batch_stats=loaded["batch_stats"])
+            batch_stats=loaded["batch_stats"],
+            proj_stats=loaded.get("projection_batch_stats",
+                                  state.proj_stats))
         start_epoch = ckpt.parse_start_epoch(configs["checkpoint"])
         logger.info(f"resumed from {configs['checkpoint']} "
                     f"at epoch {start_epoch}")
@@ -254,10 +262,12 @@ def train(config: str, overrides=None, **kwargs):
         # counts epochs from 1, ours from 0, hence epoch + 1
         if rank == 0 and ((epoch + 1) % save_interval == 0
                           or epoch + 1 > num_epochs - num_avg):
-            variables = jax.device_get(
-                {"params": state.params["model"],
-                 "batch_stats": state.batch_stats,
-                 "projection": state.params["projection"]})
+            variables = {"params": state.params["model"],
+                         "batch_stats": state.batch_stats,
+                         "projection": state.params["projection"]}
+            if state.proj_stats:
+                variables["projection_batch_stats"] = state.proj_stats
+            variables = jax.device_get(variables)
             ckpt.save_checkpoint(
                 os.path.join(model_dir, f"model_{epoch}.ckpt"), variables)
     last = os.path.join(model_dir, f"model_{num_epochs - 1}.ckpt")

@@ -45,6 +45,9 @@ class TrainState(flax.struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     rng: jnp.ndarray
+    # batch_stats of the projection head — non-empty only for heads that
+    # carry BatchNorm (the plain softmax head, reference projections.py:559)
+    proj_stats: Any = flax.struct.field(default_factory=dict)
 
 
 def amp_cast(tree, compute_dtype):
@@ -119,7 +122,7 @@ def make_train_step(model, projection, tx: optax.GradientTransformation,
     chain — the hook for neural/DSP frontends whose model input is not kaldi
     fbank (whisper log-mel, TFMel; reference executor.py:42-48)."""
 
-    def loss_fn(params, batch_stats, batch, margin, key):
+    def loss_fn(params, batch_stats, proj_stats, batch, margin, key):
         if featurize_fn is None:
             feat = features_from_batch(batch, fbank_cfg, aug, key,
                                        train=True)
@@ -138,8 +141,19 @@ def make_train_step(model, projection, tx: optax.GradientTransformation,
         embed, mutated = model.apply(
             variables, feat, train=True, mutable=["batch_stats"])
         embed = embed.astype(jnp.float32)
-        out = projection.apply({"params": params["projection"]}, embed,
-                               batch["label"], margin)
+        if proj_stats:
+            # the plain softmax head carries a BatchNorm on the embedding
+            # (reference projections.py:559-573): run it in train mode and
+            # carry its running stats alongside the model's
+            out, pmut = projection.apply(
+                {"params": params["projection"], "batch_stats": proj_stats},
+                embed, batch["label"], margin, train=True,
+                mutable=["batch_stats"])
+            new_proj_stats = pmut["batch_stats"]
+        else:
+            out = projection.apply({"params": params["projection"]}, embed,
+                                   batch["label"], margin)
+            new_proj_stats = proj_stats
         if isinstance(out, tuple):
             logits, loss = out
         else:
@@ -148,7 +162,7 @@ def make_train_step(model, projection, tx: optax.GradientTransformation,
                 logits, batch["label"]).mean()
         acc = jnp.mean(
             (jnp.argmax(logits, axis=-1) == batch["label"]).astype(jnp.float32))
-        return loss, (mutated["batch_stats"], acc)
+        return loss, (mutated["batch_stats"], new_proj_stats, acc)
 
     def train_step(state: TrainState, batch):
         step = state.step
@@ -156,16 +170,16 @@ def make_train_step(model, projection, tx: optax.GradientTransformation,
         margin = margin_fn(step)
         key = jax.random.fold_in(state.rng, step)
 
-        (loss, (new_bs, acc)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
-                                   margin, key)
+        (loss, (new_bs, new_ps, acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                   state.proj_stats, batch, margin, key)
 
         opt_state = state.opt_state
         opt_state.hyperparams["learning_rate"] = lr
         updates, new_opt_state = tx.update(grads, opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=step + 1, params=new_params,
-                                  batch_stats=new_bs,
+                                  batch_stats=new_bs, proj_stats=new_ps,
                                   opt_state=new_opt_state)
         metrics = {"loss": loss, "acc": acc, "lr": lr, "margin": margin}
         return new_state, metrics
@@ -230,6 +244,8 @@ def init_train_state(model, projection, tx, rng, feat_dim=80,
                             jnp.zeros((2,), jnp.int32))
     params = {"model": mvars["params"], "projection": pvars["params"]}
     batch_stats = mvars.get("batch_stats", {})
+    proj_stats = pvars.get("batch_stats", {})
     opt_state = tx.init(params)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                      batch_stats=batch_stats, opt_state=opt_state, rng=k3)
+                      batch_stats=batch_stats, opt_state=opt_state, rng=k3,
+                      proj_stats=proj_stats)
