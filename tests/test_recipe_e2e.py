@@ -282,3 +282,56 @@ def test_8k_rate_plumbing(tmp_path):
     cos = float(np.dot(e16, e8)
                 / (np.linalg.norm(e16) * np.linalg.norm(e8)))
     assert cos > 0.999, cos  # same audio through either delivery rate
+
+
+def test_do_lm_keeps_3x_classifier_rows(tmp_path):
+    """Large-margin fine-tune (do_lm): speed perturb is disabled but the
+    margin head keeps the 3x rows from the speed-perturbed base run so its
+    checkpoint loads without truncation (reference train.py:140-148)."""
+    from flax import serialization
+
+    entries = _make_corpus(tmp_path, n_spk=3, n_utt=2, seconds=1.5)
+    raw_list = tmp_path / "raw.list"
+    with open(raw_list, "w") as f:
+        for key, spk, path in entries:
+            f.write(json.dumps({"key": key, "spk": spk, "wav": path}) + "\n")
+    utt2spk = tmp_path / "utt2spk"
+    utt2spk.write_text("".join(f"{k} {s}\n" for k, s, _ in entries))
+
+    base = {
+        "data_type": "raw", "train_data": str(raw_list),
+        "utt2spk": str(utt2spk), "num_epochs": 1, "log_batch_interval": 5,
+        "model": "ECAPA_TDNN",
+        "model_args": {"feat_dim": 40, "embed_dim": 32, "channels": 32},
+        "projection_args": {"project_type": "arc_margin", "scale": 32.0},
+        "optimizer": "SGD", "optimizer_args": {"momentum": 0.9},
+        "scheduler_args": {"initial_lr": 0.01, "final_lr": 0.01,
+                           "warm_up_epoch": 1},
+        "dataset_args": {
+            "batch_size": 2, "num_frms": 100, "shuffle": False,
+            "speed_perturb": True, "aug_prob": 0.0, "spec_aug": False,
+            "fbank_args": {"num_mel_bins": 40, "dither": 0.0},
+            "filter_args": {"min_num_frames": 50, "max_num_frames": 200},
+        },
+        "seed": 7,
+    }
+    cfg1 = dict(base, exp_dir=str(tmp_path / "exp_base"))
+    with open(tmp_path / "c1.yaml", "w") as f:
+        yaml.safe_dump(cfg1, f)
+    bin_train(str(tmp_path / "c1.yaml"))
+    ckpt = tmp_path / "exp_base" / "models" / "model_0.ckpt"
+    with open(ckpt, "rb") as f:
+        tree = serialization.msgpack_restore(f.read())
+    assert tree["projection"]["weight"].shape[0] == 9  # 3 spk x 3 speeds
+
+    cfg2 = dict(base, exp_dir=str(tmp_path / "exp_lm"), do_lm=True,
+                model_init=str(ckpt),
+                margin_scheduler_args={"initial_margin": 0.5,
+                                       "final_margin": 0.5,
+                                       "increase_start_epoch": 1,
+                                       "fix_start_epoch": 1})
+    with open(tmp_path / "c2.yaml", "w") as f:
+        yaml.safe_dump(cfg2, f)
+    state = bin_train(str(tmp_path / "c2.yaml"))
+    # classifier kept the 3x rows even though speed perturb was disabled
+    assert state.params["projection"]["weight"].shape[0] == 9

@@ -55,6 +55,7 @@ def build_from_config(configs, num_class):
     proj_conf["num_class"] = num_class
     proj_conf.setdefault("scale", 32.0)
     proj_conf.setdefault("easy_margin", False)
+    proj_conf.setdefault("do_lm", configs.get("do_lm", False))
     projection = get_projection(proj_conf)
     return built, projection
 
@@ -89,6 +90,15 @@ def train(config: str, overrides=None, **kwargs):
                                  if "spk2id" in configs
                                  else configs["utt2spk"])
     dataset_args = configs["dataset_args"]
+    lm_keep_3x = False
+    if configs.get("do_lm") and configs["data_type"] != "feat" \
+            and dataset_args.get("speed_perturb", True):
+        # large-margin fine-tune resumes from a speed-perturbed checkpoint:
+        # keep the 3x classifier rows so the margin head loads, but train
+        # without speed perturb (reference train.py:140-148)
+        logger.info("do_lm: speed perturb disabled, classifier keeps 3x rows")
+        dataset_args = {**dataset_args, "speed_perturb": False}
+        lm_keep_3x = True
     ds_args = (configs["data_type"], configs["train_data"], dataset_args,
                spk2id)
     ds_kwargs = dict(reverb_store_prefix=configs.get("reverb_data"),
@@ -96,7 +106,7 @@ def train(config: str, overrides=None, **kwargs):
                      rank=rank, world_size=world,
                      seed=configs.get("seed", 42))
     dataset = SpeakerDataset(*ds_args, **ds_kwargs)
-    num_class = dataset.num_classes()
+    num_class = dataset.num_classes() * (3 if lm_keep_3x else 1)
     model_axis = mesh.shape["model"]
     if model_axis > 1 and num_class % model_axis:
         # pad the classifier to a multiple of the model axis so its rows

@@ -163,4 +163,9 @@ SCHEDULERS = {
 
 
 def get_lr_scheduler(name: str, **kwargs):
-    return SCHEDULERS[name](**kwargs)
+    """The trainer injects generic defaults (initial_lr/final_lr/
+    warm_up_epoch) that not every scheduler declares (WarmupCosineScheduler
+    uses min_lr/max_lr/warmup_epoch) — keep only declared fields."""
+    cls = SCHEDULERS[name]
+    fields = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in kwargs.items() if k in fields})
