@@ -84,6 +84,23 @@ class TSTP(nn.Module):
         return self.in_dim * 2
 
 
+class _K1ConvParams(nn.Module):
+    """Parameter holder with nn.Conv's k=1 tree (kernel/bias) but no compute
+    — same pattern as models/ecapa_tdnn._ConvParams; init matches nn.Conv
+    (lecun_normal fan-in = in_dim)."""
+    in_dim: int
+    out_dim: int
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (1, self.in_dim, self.out_dim))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.out_dim,))
+
+    def __call__(self):
+        return self.kernel, self.bias
+
+
 class ASTP(nn.Module):
     """Attentive statistics pooling (ECAPA-TDNN), optional global context."""
     in_dim: int
@@ -95,17 +112,31 @@ class ASTP(nn.Module):
                  train: bool = False):
         if self.global_context_att:
             ctx_mean, ctx_std = _std(x, mask, ddof=1)
-            ones = jnp.ones_like(x)
-            x_in = jnp.concatenate(
-                [x, ctx_mean[:, None, :] * ones, ctx_std[:, None, :] * ones],
-                axis=-1)
+            # linear1 over concat([x, mean*1, std*1]) WITHOUT materializing
+            # the (B, T, 3C) concat (1.9 GB at flagship shapes): split the
+            # k=1 conv kernel over its input slices — the context rows
+            # reduce to a per-utterance bias broadcast over T. Parameter
+            # tree is identical to the conv, so checkpoints are unchanged.
+            c = x.shape[-1]
+            kernel, bias = _K1ConvParams(3 * c, self.bottleneck_dim,
+                                         name="linear1")()
+            k = kernel[0].astype(x.dtype)
+            ctx = (ctx_mean.astype(x.dtype) @ k[c:2 * c]
+                   + ctx_std.astype(x.dtype) @ k[2 * c:]
+                   + bias.astype(x.dtype))
+            alpha = jnp.tanh(x @ k[:c] + ctx[:, None, :])
         else:
-            x_in = x
-        # conv1d(k=1) == position-wise linear; names match the torch modules.
-        alpha = jnp.tanh(conv1d(self.bottleneck_dim, 1, name="linear1")(x_in))
+            # conv1d(k=1) == position-wise linear; names match torch modules.
+            alpha = jnp.tanh(conv1d(self.bottleneck_dim, 1,
+                                    name="linear1")(x))
         alpha = conv1d(self.in_dim, 1, name="linear2")(alpha)
         if mask is not None:
             alpha = jnp.where(mask[..., None] > 0, alpha, _NEG_INF)
+        # NOTE: ops/pooling_pallas.fused_softmax_stats fuses this tail into
+        # one VMEM pass and wins standalone (4.0 vs 5.1 ms at 1024x200x1536),
+        # but loses end-to-end: XLA overlaps the jnp tail with the MFA conv,
+        # which a monolithic pallas call prevents — so the model path stays
+        # jnp (same finding as the fused Res2 chain, docs/PERF.md).
         alpha = nn.softmax(alpha, axis=1)
         mean = jnp.sum(alpha * x, axis=1)
         var = jnp.sum(alpha * x**2, axis=1) - mean**2

@@ -71,6 +71,16 @@ def fused_softmax_stats(logits, x, interpret: bool = False):
     return mean[:b0], std[:b0]
 
 
+def softmax_stats_fits(t, d, itemsize: int = 4) -> bool:
+    """Envelope where the fused softmax-stats kernel applies: lane-aligned
+    feature dim and a (BLOCK_B, T, BLOCK_D) tile pair (+f32 casts) within
+    VMEM (~16 MB/core). Symbolic t (jax.export) routes to the jnp path."""
+    if not isinstance(t, int) or not isinstance(d, int):
+        return False
+    tile = BLOCK_B * t * BLOCK_D * itemsize
+    return d % BLOCK_D == 0 and tile * 4 <= 16 * 1024 * 1024
+
+
 def _masked_stats_kernel(x_ref, mask_ref, mean_ref, std_ref, *, ddof):
     x = x_ref[...].astype(jnp.float32)     # (BB, T, BD)
     m = mask_ref[...].astype(jnp.float32)  # (BB, T, 1)
