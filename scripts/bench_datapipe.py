@@ -59,8 +59,10 @@ def build_corpus(root, n_spk=16, n_utt=16, seconds=4.0):
     return raw, spk2id
 
 
-def run(root, raw, spk2id, batch_size, num_workers, n_batches=40):
-    ds_args = ("raw", raw, CFG, spk2id)
+def run(root, raw, spk2id, batch_size, num_workers, n_batches=40,
+        device_aug=False):
+    cfg = {**CFG, "device_aug": device_aug}
+    ds_args = ("raw", raw, cfg, spk2id)
     ds_kwargs = dict(reverb_store_prefix=os.path.join(root, "rir"),
                      noise_store_prefix=os.path.join(root, "noise"))
     got = 0
@@ -81,7 +83,8 @@ def run(root, raw, spk2id, batch_size, num_workers, n_batches=40):
     if pf is not None:
         pf.close()
     bps = got / dt
-    print(f"workers={num_workers}: {bps:6.1f} batches/s "
+    tag = " device_aug" if device_aug else ""
+    print(f"workers={num_workers}{tag}: {bps:6.1f} batches/s "
           f"({bps * batch_size:7,.0f} utts/s, "
           f"{bps * batch_size * 2:8,.0f} audio-s/s of 2s chunks)")
     return bps
@@ -100,3 +103,5 @@ if __name__ == "__main__":
         raw, spk2id = build_corpus(root, n_spk=side, n_utt=side)
         for w in workers:
             run(root, raw, spk2id, batch, w, n_batches)
+        for w in workers:
+            run(root, raw, spk2id, batch, w, n_batches, device_aug=True)

@@ -254,10 +254,7 @@ def train(config: str, overrides=None, **kwargs):
         for it in range(epoch_iter):
             batch = next(batches)
             device_batch = shard_batch(
-                mesh, {"wav": batch.get("wav", batch.get("feat")),
-                       "label": batch["label"]}
-                if "wav" in batch else
-                {"feat": batch["feat"], "label": batch["label"]})
+                mesh, {k: v for k, v in batch.items() if k != "key"})
             state, metrics = step_jit(state, device_batch)
             if it % log_interval == 0:
                 m = jax.device_get(metrics)

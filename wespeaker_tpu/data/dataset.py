@@ -104,8 +104,16 @@ class SpeakerDataset:
             data = P.random_chunk(data, chunk_len, rng, feat_mode)
             if not feat_mode and cfg.get("aug_prob", 0.6) > 0 and (
                     self.reverb or self.noise):
-                data = P.add_reverb_noise(data, self.reverb, self.noise,
-                                          cfg.get("aug_prob", 0.6), rng)
+                if cfg.get("device_aug", False):
+                    # host picks samples; convolution/mixing run on device
+                    # inside the train step (train/device_aug.py)
+                    data = P.attach_device_aug(
+                        data, self.reverb, self.noise,
+                        cfg.get("aug_prob", 0.6),
+                        cfg.get("device_aug_rir_samples", 16000), rng)
+                else:
+                    data = P.add_reverb_noise(data, self.reverb, self.noise,
+                                              cfg.get("aug_prob", 0.6), rng)
         return data
 
     def batches(self, batch_size: int, max_epochs: Optional[int] = None

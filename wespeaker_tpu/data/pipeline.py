@@ -308,16 +308,81 @@ def add_reverb_noise(data, reverb_store=None, noise_store=None,
         yield sample
 
 
+def attach_device_aug(data, reverb_store=None, noise_store=None,
+                      aug_prob: float = 0.6, rir_samples: int = 16000,
+                      rng: Optional[np.random.Generator] = None):
+    """Host half of device-side augmentation: pick the RIR / noise sample and
+    the SNR here (cheap memmap reads + RNG), ship them alongside the wav;
+    the FFT convolution / SNR mixing / peak-norm run inside the jitted train
+    step (train/device_aug.py::device_augment). Selection logic mirrors
+    add_reverb_noise; RIRs are padded-or-truncated to `rir_samples` for a
+    static device shape (MUSAN/RIRS tails beyond 1 s carry negligible
+    energy)."""
+    rng = rng or np.random.default_rng()
+    for sample in data:
+        n = sample["wav"].shape[0]
+        mode, snr = 0, 0.0
+        # store-native int16: halves the worker-queue payload and skips the
+        # host float conversion; the device converts ([-1,1] f32) first
+        rir = np.zeros(rir_samples, np.int16)
+        noise = np.zeros(n, np.int16)
+        if rng.uniform() < aug_prob and (reverb_store or noise_store):
+            use_reverb = reverb_store is not None and (
+                noise_store is None or rng.integers(1, 3) == 1)
+            if use_reverb:
+                mode = 1
+                _, r = reverb_store.random_one_raw(rng)
+                r = r[:rir_samples]
+                rir[:r.shape[0]] = r
+            else:
+                mode = 2
+                key, nz = noise_store.random_one_raw(rng)
+                noise = get_random_chunk(nz, n, rng)
+                lo, hi = _snr_range_for(key)
+                snr = float(rng.uniform(lo, hi))
+        sample["aug_mode"] = mode
+        sample["aug_rir"] = rir
+        sample["aug_noise"] = noise
+        sample["aug_snr"] = snr
+        yield sample
+
+
 def batch_samples(data, batch_size: int, feat_mode=False) -> Iterator[dict]:
-    """Stack fixed-shape samples into {'wav'|'feat', 'label', 'key'} arrays."""
+    """Stack fixed-shape samples into {'wav'|'feat', 'label', 'key'} arrays
+    (plus stacked device-aug fields when attach_device_aug is in the chain)."""
     key = "feat" if feat_mode else "wav"
     buf = []
     for sample in data:
         buf.append(sample)
         if len(buf) == batch_size:
-            yield {
+            batch = {
                 key: np.stack([s[key] for s in buf]).astype(np.float32),
                 "label": np.asarray([s["label"] for s in buf], np.int32),
                 "key": [s["key"] for s in buf],
             }
+            if "aug_mode" in buf[0]:
+                # pack reverb samples first: the device convolves only the
+                # first `cap` rows (the FFT is the expensive part of
+                # device-side aug), so aug_rir ships as (cap, R). Sample
+                # order within a batch is immaterial for training. Overflow
+                # beyond capacity (binomially negligible at aug_prob<=0.6)
+                # downgrades to no-aug.
+                buf.sort(key=lambda s: s["aug_mode"] != 1)
+                cap = max(batch_size // 2, 1)
+                for s in buf[cap:]:
+                    if s["aug_mode"] == 1:
+                        s["aug_mode"] = 0
+                batch[key] = np.stack(
+                    [s[key] for s in buf]).astype(np.float32)
+                batch["label"] = np.asarray(
+                    [s["label"] for s in buf], np.int32)
+                batch["key"] = [s["key"] for s in buf]
+                batch["aug_mode"] = np.asarray(
+                    [s["aug_mode"] for s in buf], np.int32)
+                batch["aug_rir"] = np.stack(
+                    [s["aug_rir"] for s in buf[:cap]])
+                batch["aug_noise"] = np.stack([s["aug_noise"] for s in buf])
+                batch["aug_snr"] = np.asarray(
+                    [s["aug_snr"] for s in buf], np.float32)
+            yield batch
             buf = []

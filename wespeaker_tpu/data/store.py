@@ -35,6 +35,16 @@ class PackedAudioStore:
         i = int(rng.integers(0, len(self.keys)))
         return self.keys[i], self.get(i)
 
+    def get_raw(self, i: int) -> np.ndarray:
+        """int16 waveform (store-native) — no float conversion; used by the
+        device-aug path to keep host CPU and worker-queue payload minimal."""
+        o, l = int(self.offsets[i]), int(self.lengths[i])
+        return self.data[o:o + l]
+
+    def random_one_raw(self, rng) -> Tuple[str, np.ndarray]:
+        i = int(rng.integers(0, len(self.keys)))
+        return self.keys[i], self.get_raw(i)
+
 
 def build_packed_store(wav_list: List[Tuple[str, str]], prefix: str,
                        sample_rate: int = 16000,

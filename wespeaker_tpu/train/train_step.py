@@ -89,7 +89,13 @@ def features_from_batch(batch, fbank_cfg: FbankConfig, aug: Optional[AugConfig],
     if "feat" in batch:
         feat = batch["feat"]
     else:
-        wav = batch["wav"] * (1 << 15)
+        wav = batch["wav"]
+        if train and "aug_mode" in batch:
+            # device-side reverb/noise aug (host only picked the samples)
+            from wespeaker_tpu.train.device_aug import device_augment
+            wav = device_augment(wav, batch["aug_mode"], batch["aug_rir"],
+                                 batch["aug_noise"], batch["aug_snr"])
+        wav = wav * (1 << 15)
         if train and fbank_cfg.dither != 0.0:
             # waveform-level dither so the fused-conv fbank fast path stays
             # usable in training (kaldi dithers per frame; overlapping
