@@ -200,3 +200,24 @@ def test_parse_raw_pipe_command(corpus, tmp_path):
     assert piped["key"] == "piped"
     np.testing.assert_array_equal(piped["wav"], direct["wav"])
     assert piped["sample_rate"] == direct["sample_rate"]
+
+
+def test_eval_batches_windowed_sort():
+    """eval_batches sorts within bounded windows (streaming memory) and
+    every utterance appears exactly once with its exact samples masked in."""
+    from wespeaker_tpu.data.dataset import eval_batches
+
+    rng = np.random.default_rng(0)
+    lens = rng.integers(4000, 64000, 100)
+    items = [(f"u{i}", rng.uniform(-1, 1, n).astype(np.float32))
+             for i, n in enumerate(lens)]
+    seen = {}
+    for batch in eval_batches(iter(items), batch_size=8,
+                              quantum_samples=16000, sort_window=16):
+        assert batch["wav"].shape[1] % 16000 == 0
+        for j, key in enumerate(batch["key"]):
+            n = int(batch["mask"][j].sum())
+            seen[key] = batch["wav"][j, :n]
+    assert len(seen) == 100
+    for key, wav in items:
+        np.testing.assert_array_equal(seen[key], wav)

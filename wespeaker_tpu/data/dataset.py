@@ -143,31 +143,46 @@ class SpeakerDataset:
 
 
 def eval_batches(utt_wavs, batch_size: int = 8, quantum_samples: int = 16000,
-                 max_samples: Optional[int] = None) -> Iterator[dict]:
+                 max_samples: Optional[int] = None,
+                 sort_window: Optional[int] = 4096) -> Iterator[dict]:
     """Static-shape eval batching for variable-length utterances: sort by
     length, group, right-pad to the bucket max rounded up to `quantum`, and
     emit a per-sample validity mask so masked pooling reproduces the
     reference's unpadded batch=1 extraction (extract.py:112-135).
 
     utt_wavs: iterable of (key, float32 wav). Sorting bounds the number of
-    distinct padded shapes -> bounded XLA recompiles."""
-    items = list(utt_wavs)
-    items.sort(key=lambda kv: len(kv[1]))
-    for i in range(0, len(items), batch_size):
-        group = items[i:i + batch_size]
-        longest = max(len(w) for _, w in group)
-        if max_samples is not None:
-            longest = min(longest, max_samples)
-        padded_len = -(-longest // quantum_samples) * quantum_samples
-        wavs = np.zeros((len(group), padded_len), np.float32)
-        mask = np.zeros((len(group), padded_len), np.float32)
-        keys = []
-        for j, (key, wav) in enumerate(group):
-            wav = wav[:padded_len]
-            wavs[j, :len(wav)] = wav
-            mask[j, :len(wav)] = 1.0
-            keys.append(key)
-        yield {"wav": wavs, "mask": mask, "key": keys}
+    distinct padded shapes -> bounded XLA recompiles. Sorting happens in
+    windows of `sort_window` utterances so memory stays bounded on
+    million-utterance lists (bucketing quality is per-window; numerics are
+    identical regardless of grouping thanks to the masks). `sort_window=None`
+    sorts the full list."""
+
+    def emit(items):
+        items.sort(key=lambda kv: len(kv[1]))
+        for i in range(0, len(items), batch_size):
+            group = items[i:i + batch_size]
+            longest = max(len(w) for _, w in group)
+            if max_samples is not None:
+                longest = min(longest, max_samples)
+            padded_len = -(-longest // quantum_samples) * quantum_samples
+            wavs = np.zeros((len(group), padded_len), np.float32)
+            mask = np.zeros((len(group), padded_len), np.float32)
+            keys = []
+            for j, (key, wav) in enumerate(group):
+                wav = wav[:padded_len]
+                wavs[j, :len(wav)] = wav
+                mask[j, :len(wav)] = 1.0
+                keys.append(key)
+            yield {"wav": wavs, "mask": mask, "key": keys}
+
+    window = []
+    for item in utt_wavs:
+        window.append(item)
+        if sort_window is not None and len(window) >= sort_window:
+            yield from emit(window)
+            window = []
+    if window:
+        yield from emit(window)
 
 
 def _mp_worker(q, ds_args, ds_kwargs, batch_size, max_epochs):
