@@ -221,3 +221,17 @@ def test_eval_batches_windowed_sort():
     assert len(seen) == 100
     for key, wav in items:
         np.testing.assert_array_equal(seen[key], wav)
+
+
+def test_defer_chunk_aug_yields_whole_utterances(corpus):
+    """SSL mode (defer_chunk_aug): the dataset must not pre-chunk or
+    pre-augment — crops are taken from the whole utterance and each view is
+    augmented independently downstream (reference ssl processor)."""
+    cfg = {**CFG, "defer_chunk_aug": True, "speed_perturb": False}
+    ds = SpeakerDataset("raw", corpus["raw_list"], cfg, corpus["spk2id"],
+                        noise_store_prefix=corpus["noise_prefix"])
+    samples = list(ds._epoch_iter(0))
+    assert samples
+    # corpus utterances are 3 s at 16 kHz; num_frms=200 chunking would have
+    # cut them to 2 s
+    assert all(len(s["wav"]) == 48000 for s in samples)

@@ -16,7 +16,8 @@ import numpy as np
 import optax
 
 from wespeaker_tpu.data.dataset import Prefetcher, SpeakerDataset
-from wespeaker_tpu.data.pipeline import get_random_chunk, spk2id_from_utt2spk
+from wespeaker_tpu.data.pipeline import (get_random_chunk, make_crop_aug,
+                                          spk2id_from_utt2spk)
 from wespeaker_tpu.frontend import FbankConfig, apply_cmvn, compute_fbank
 from wespeaker_tpu.models import get_speaker_model
 from wespeaker_tpu.parallel.mesh import make_mesh, replicated, shard_batch
@@ -26,7 +27,9 @@ from wespeaker_tpu.utils import checkpoint as ckpt
 from wespeaker_tpu.utils.config import parse_config_or_kwargs
 
 
-def _two_view_batches(dataset, batch, chunk_len, seed):
+def _two_view_batches(dataset, batch, chunk_len, seed, aug_fn=None):
+    """Two independently chunked (and augmented) views per utterance
+    (reference ssl/dataset/processor.py: per-view aug)."""
     rng = np.random.default_rng(seed)
     epoch = 0
     while True:
@@ -34,6 +37,8 @@ def _two_view_batches(dataset, batch, chunk_len, seed):
         for sample in dataset._epoch_iter(epoch):
             q = get_random_chunk(sample["wav"], chunk_len, rng)
             k = get_random_chunk(sample["wav"], chunk_len, rng)
+            if aug_fn is not None:
+                q, k = aug_fn(q, rng), aug_fn(k, rng)
             buf.append((q, k))
             if len(buf) == batch:
                 yield {
@@ -117,11 +122,15 @@ def train_contrastive(config: str, overrides=None, **kwargs):
     spk2id = spk2id_from_utt2spk(configs["utt2spk"])
     ds_args = dict(configs["dataset_args"])
     ds_args["speed_perturb"] = False
+    # views are chunked from the whole utterance and augmented per view
+    ds_args["defer_chunk_aug"] = True
     dataset = SpeakerDataset(configs["data_type"], configs["train_data"],
                              ds_args, spk2id,
                              noise_store_prefix=configs.get("noise_data"),
                              reverb_store_prefix=configs.get("reverb_data"),
                              seed=configs.get("seed", 42))
+    crop_aug = make_crop_aug(dataset.reverb, dataset.noise,
+                             ds_args.get("aug_prob", 0.6))
     sr = ds_args.get("resample_rate", 16000)
     chunk_len = int(ssl_args.get("chunk_sec", 2.0) * sr)
 
@@ -134,7 +143,7 @@ def train_contrastive(config: str, overrides=None, **kwargs):
     step_jit = jax.jit(step_fn, out_shardings=(rep, rep))
     log_interval = configs.get("log_batch_interval", 50)
     batches = iter(Prefetcher(_two_view_batches(
-        dataset, batch, chunk_len, configs.get("seed", 42))))
+        dataset, batch, chunk_len, configs.get("seed", 42), crop_aug)))
 
     it = 0
     for epoch in range(num_epochs):

@@ -17,7 +17,7 @@ import numpy as np
 import optax
 
 from wespeaker_tpu.data.dataset import Prefetcher, SpeakerDataset
-from wespeaker_tpu.data.pipeline import spk2id_from_utt2spk
+from wespeaker_tpu.data.pipeline import make_crop_aug, spk2id_from_utt2spk
 from wespeaker_tpu.frontend import FbankConfig, apply_cmvn, compute_fbank
 from wespeaker_tpu.models import get_speaker_model
 from wespeaker_tpu.parallel.mesh import make_mesh, replicated, shard_batch
@@ -86,11 +86,17 @@ def train_dino(config: str, overrides=None, **kwargs):
     spk2id = spk2id_from_utt2spk(configs["utt2spk"])
     ds_args = dict(configs["dataset_args"])
     ds_args["speed_perturb"] = False
+    # crops are taken from the WHOLE utterance and each view is augmented
+    # independently (reference ssl/dataset/processor.py:49-216) — the
+    # dataset must not pre-chunk or pre-augment
+    ds_args["defer_chunk_aug"] = True
     dataset = SpeakerDataset(configs["data_type"], configs["train_data"],
                              ds_args, spk2id,
                              noise_store_prefix=configs.get("noise_data"),
                              reverb_store_prefix=configs.get("reverb_data"),
                              seed=configs.get("seed", 42))
+    crop_aug = make_crop_aug(dataset.reverb, dataset.noise,
+                             ds_args.get("aug_prob", 0.6))
 
     sr = ds_args.get("resample_rate", 16000)
     g_len = int(dino_args.get("global_chunk_sec", 2.0) * sr)
@@ -102,7 +108,7 @@ def train_dino(config: str, overrides=None, **kwargs):
         while True:
             data = dataset._epoch_iter(epoch)
             data = ssl_data.multi_crop(data, g_len, l_len, n_global, n_local,
-                                       rng=rng)
+                                       aug_fn=crop_aug, rng=rng)
             yield from ssl_data.dino_batch(data, batch)
             epoch += 1
 

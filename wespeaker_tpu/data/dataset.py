@@ -91,6 +91,12 @@ class SpeakerDataset:
                     data = P.speed_perturb_expand(data, num_spks)
                 else:
                     data = P.speed_perturb(data, num_spks, rng)
+            if cfg.get("defer_chunk_aug", False):
+                # SSL multi-crop mode: the trainer crops N views per
+                # utterance and augments each independently downstream
+                # (ssl/dataset.py::multi_crop, reference
+                # ssl/dataset/processor.py:49-216) — no chunking or aug here
+                return data
             fbank_args = cfg.get("fbank_args", {})
             frame_shift = fbank_args.get("frame_shift", 10)
             frame_length = fbank_args.get("frame_length", 25)

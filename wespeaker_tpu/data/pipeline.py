@@ -276,35 +276,56 @@ def _snr_range_for(key: str):
     return (0, 15)
 
 
+def augment_one(audio: np.ndarray, reverb_store, noise_store,
+                rng: np.random.Generator) -> np.ndarray:
+    """One wav through the reverb-or-noise branch + peak normalize
+    (processor.py:439-494). Shared by the per-sample pipeline stage and the
+    SSL per-crop augmentation (ssl/dataset.py)."""
+    from scipy.signal import fftconvolve
+
+    n = audio.shape[0]
+    use_reverb = reverb_store is not None and (
+        noise_store is None or rng.integers(1, 3) == 1)
+    if use_reverb:
+        _, rir = reverb_store.random_one(rng)
+        rir = rir / np.sqrt(np.sum(rir ** 2) + 1e-12)
+        out = fftconvolve(audio, rir, mode="full")[:n]
+    else:
+        audio_db = 10 * np.log10(np.mean(audio ** 2) + 1e-4)
+        key, noise = noise_store.random_one(rng)
+        noise = get_random_chunk(noise, n, rng)
+        lo, hi = _snr_range_for(key)
+        snr = rng.uniform(lo, hi)
+        noise_db = 10 * np.log10(np.mean(noise ** 2) + 1e-4)
+        noise = np.sqrt(10 ** ((audio_db - noise_db - snr) / 10)) * noise
+        out = audio + noise
+    return (out / (np.max(np.abs(out)) + 1e-4)).astype(np.float32)
+
+
+def make_crop_aug(reverb_store, noise_store, aug_prob: float):
+    """Per-crop aug_fn for ssl/dataset.multi_crop (each view independently
+    augmented, reference ssl/dataset/processor.py:166-216)."""
+    if not (reverb_store or noise_store) or aug_prob <= 0:
+        return None
+
+    def aug(wav, rng):
+        if rng.uniform() < aug_prob:
+            return augment_one(wav, reverb_store, noise_store, rng)
+        return wav
+
+    return aug
+
+
 def add_reverb_noise(data, reverb_store=None, noise_store=None,
                      aug_prob: float = 0.6,
                      rng: Optional[np.random.Generator] = None):
     """RIR convolution (energy-normalized, truncated to input length) or
     SNR-scaled additive noise, then peak-normalize (processor.py:421-494)."""
-    from scipy.signal import fftconvolve
-
     rng = rng or np.random.default_rng()
     for sample in data:
         if rng.uniform() < aug_prob and (reverb_store or noise_store):
-            audio = sample["wav"]
-            n = audio.shape[0]
-            use_reverb = reverb_store is not None and (
-                noise_store is None or rng.integers(1, 3) == 1)
-            if use_reverb:
-                _, rir = reverb_store.random_one(rng)
-                rir = rir / np.sqrt(np.sum(rir ** 2) + 1e-12)
-                out = fftconvolve(audio, rir, mode="full")[:n]
-            else:
-                audio_db = 10 * np.log10(np.mean(audio ** 2) + 1e-4)
-                key, noise = noise_store.random_one(rng)
-                noise = get_random_chunk(noise, n, rng)
-                lo, hi = _snr_range_for(key)
-                snr = rng.uniform(lo, hi)
-                noise_db = 10 * np.log10(np.mean(noise ** 2) + 1e-4)
-                noise = np.sqrt(10 ** ((audio_db - noise_db - snr) / 10)) * noise
-                out = audio + noise
-            sample["wav"] = (out / (np.max(np.abs(out)) + 1e-4)).astype(
-                np.float32)
+            sample["wav"] = augment_one(sample["wav"], reverb_store,
+                                        noise_store, rng)
         yield sample
 
 
