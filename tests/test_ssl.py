@@ -175,3 +175,27 @@ def test_dino_train_step_amp_bf16():
         for leaf in jax.tree_util.tree_leaves(state.student):
             assert leaf.dtype == jnp.float32
     np.testing.assert_allclose(losses["amp"], losses["f32"], rtol=0.02)
+
+
+def test_ssl_featurize_spec_aug():
+    """make_ssl_featurize honors dataset_args.spec_aug (reference
+    ssl/dataset/dataset.py:160-163) with the reference's `prob` key; keys
+    advance per call so views get independent masks."""
+    import numpy as np
+
+    from wespeaker_tpu.frontend import FbankConfig
+    from wespeaker_tpu.ssl.featurize import make_ssl_featurize
+
+    w = np.random.default_rng(0).uniform(
+        -0.5, 0.5, (2, 16000)).astype(np.float32)
+    cfg = FbankConfig(num_mel_bins=40, dither=0.0)
+    plain = make_ssl_featurize(cfg, {"spec_aug": False}, 0)
+    auged = make_ssl_featurize(
+        cfg, {"spec_aug": True,
+              "spec_aug_args": {"prob": 1.0, "num_t_mask": 2,
+                                "num_f_mask": 2, "max_t": 10, "max_f": 8}}, 0)
+    base = np.asarray(plain(w))
+    a1, a2 = np.asarray(auged(w)), np.asarray(auged(w))
+    assert base.shape == a1.shape
+    assert (a1 == 0).sum() > 0  # masks applied (prob=1)
+    assert not np.array_equal(a1, a2)  # per-call keys advance

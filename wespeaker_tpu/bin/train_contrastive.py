@@ -18,7 +18,8 @@ import optax
 from wespeaker_tpu.data.dataset import Prefetcher, SpeakerDataset
 from wespeaker_tpu.data.pipeline import (get_random_chunk, make_crop_aug,
                                           spk2id_from_utt2spk)
-from wespeaker_tpu.frontend import FbankConfig, apply_cmvn, compute_fbank
+from wespeaker_tpu.frontend import FbankConfig
+from wespeaker_tpu.ssl.featurize import make_ssl_featurize
 from wespeaker_tpu.models import get_speaker_model
 from wespeaker_tpu.parallel.mesh import make_mesh, replicated, shard_batch
 from wespeaker_tpu.ssl import contrastive as C
@@ -135,8 +136,8 @@ def train_contrastive(config: str, overrides=None, **kwargs):
     chunk_len = int(ssl_args.get("chunk_sec", 2.0) * sr)
 
     fbank_cfg = FbankConfig(num_mel_bins=feat_dim, dither=0.0)
-    featurize = jax.jit(
-        lambda w: apply_cmvn(compute_fbank(w * (1 << 15), fbank_cfg)))
+    featurize = make_ssl_featurize(fbank_cfg, configs["dataset_args"],
+                                   configs.get("seed", 42))
 
     rep = replicated(mesh)
     state = jax.device_put(state, rep)

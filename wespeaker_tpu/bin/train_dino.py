@@ -18,7 +18,8 @@ import optax
 
 from wespeaker_tpu.data.dataset import Prefetcher, SpeakerDataset
 from wespeaker_tpu.data.pipeline import make_crop_aug, spk2id_from_utt2spk
-from wespeaker_tpu.frontend import FbankConfig, apply_cmvn, compute_fbank
+from wespeaker_tpu.frontend import FbankConfig
+from wespeaker_tpu.ssl.featurize import make_ssl_featurize
 from wespeaker_tpu.models import get_speaker_model
 from wespeaker_tpu.parallel.mesh import make_mesh, replicated, shard_batch
 from wespeaker_tpu.ssl import dataset as ssl_data
@@ -80,8 +81,8 @@ def train_dino(config: str, overrides=None, **kwargs):
                               feat_dim=feat_dim, embed_dim=embed_dim)
 
     fbank_cfg = FbankConfig(num_mel_bins=feat_dim, dither=0.0)
-    featurize = jax.jit(lambda w: apply_cmvn(
-        compute_fbank(w * (1 << 15), fbank_cfg)))
+    featurize = make_ssl_featurize(fbank_cfg, configs["dataset_args"],
+                                   configs.get("seed", 42))
 
     spk2id = spk2id_from_utt2spk(configs["utt2spk"])
     ds_args = dict(configs["dataset_args"])
