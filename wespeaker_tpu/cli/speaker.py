@@ -60,6 +60,9 @@ class Speaker:
                 sd, variables, rules=rules_for(configs["model"]),
                 strict=False))
 
+        # keep weights on device: checkpoint restore yields numpy, and jit
+        # would otherwise re-transfer the tree on every call
+        self.variables = jax.device_put(self.variables)
         self.resample_rate = 16000
         self.apply_vad = False
         self.wavform_norm = False
