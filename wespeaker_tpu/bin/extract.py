@@ -102,14 +102,31 @@ def iter_wavs_from_list(data_list, target_rate=16000, num_splits=1,
 
 def extract(config, checkpoint_path, data_list, out_prefix, batch_size=8,
             overrides=None, num_splits=1, split_index=0, bf16=False,
-            read_threads=4, **kwargs):
+            read_threads=4, precision="default", **kwargs):
     """num_splits/split_index stripe the data list across independent
     processes/hosts (tools/extract_embedding.sh:40-75 equivalent).
     bf16=True casts weights+activations to bfloat16 for ~2x throughput
-    (embedding cosine vs fp32 stays >= 0.9999); default fp32 matches the
-    reference bit-for-bit. read_threads overlaps host wav IO with the
-    device forward."""
+    (embedding cosine vs fp32 stays >= 0.9999). read_threads overlaps host
+    wav IO with the device forward.
+
+    precision: XLA matmul/conv precision for fp32 tensors. On TPU the
+    'default' lowering computes fp32 contractions at bfloat16 MXU precision;
+    pass 'high' (bf16x3 passes, ~fp32 accuracy) or 'float32' (exact, ~2x
+    slower convs) for strict-parity runs against the reference CPU/GPU
+    numerics. No effect on CPU or on --bf16 runs."""
     configs = parse_config_or_kwargs(config, overrides, **kwargs)
+    import contextlib
+    prec_ctx = (contextlib.nullcontext() if precision == "default"
+                else jax.default_matmul_precision(
+                    {"high": "high", "float32": "float32"}[precision]))
+    with prec_ctx:
+        return _extract_inner(configs, checkpoint_path, data_list,
+                              out_prefix, batch_size, num_splits,
+                              split_index, bf16, read_threads)
+
+
+def _extract_inner(configs, checkpoint_path, data_list, out_prefix,
+                   batch_size, num_splits, split_index, bf16, read_threads):
     built, variables = load_model_for_eval(configs, checkpoint_path)
     compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
     if bf16:
@@ -159,13 +176,19 @@ def main():
     ap.add_argument("--split_index", type=int, default=0)
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 weights+activations (~2x, cosine >= 0.9999)")
+    ap.add_argument("--precision", choices=["default", "high", "float32"],
+                    default="default",
+                    help="fp32 contraction precision on TPU: default="
+                         "bf16 MXU passes, high=bf16x3 (~fp32), float32="
+                         "exact strict-parity (slowest)")
     ap.add_argument("--read_threads", type=int, default=4,
                     help="wav-reading threads overlapping the device fwd")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
     extract(args.config, args.checkpoint, args.data_list, args.out_prefix,
             args.batch_size, args.overrides, args.num_splits,
-            args.split_index, bf16=args.bf16, read_threads=args.read_threads)
+            args.split_index, bf16=args.bf16, read_threads=args.read_threads,
+            precision=args.precision)
 
 
 if __name__ == "__main__":
