@@ -68,3 +68,33 @@ def test_speaker_api(model_dir, tmp_path):
 
     merged = spk.diarize(a, utt="rec1")
     assert isinstance(merged, list)
+
+
+def test_extract_data_parallel_matches_single(model_dir, tmp_path):
+    """--data_parallel shards eval batches over the 8 virtual devices and
+    must reproduce the single-device embeddings (incl. the replicated-row
+    padding path when the last bucket isn't divisible by n_devices)."""
+    import json
+
+    from wespeaker_tpu.bin.extract import extract
+    from wespeaker_tpu.utils.kaldi_io import read_vec_scp_dict
+
+    assert len(jax.devices()) == 8  # conftest virtual CPU mesh
+    raw = tmp_path / "raw.list"
+    with open(raw, "w") as f:
+        for i in range(11):  # 11 % 8 != 0 -> exercises batch padding
+            p = _tone(tmp_path / f"u{i}.wav", 200 + 40 * i,
+                      seconds=1.5 + 0.1 * i)
+            f.write(json.dumps({"key": f"u{i}", "wav": p,
+                                "spk": f"s{i % 3}"}) + "\n")
+
+    common = dict(config=os.path.join(model_dir, "config.yaml"),
+                  checkpoint_path=os.path.join(model_dir, "avg_model.ckpt"),
+                  data_list=str(raw), batch_size=16)
+    one = read_vec_scp_dict(extract(
+        out_prefix=str(tmp_path / "emb_one"), **common))
+    dp = read_vec_scp_dict(extract(
+        out_prefix=str(tmp_path / "emb_dp"), data_parallel=True, **common))
+    assert one.keys() == dp.keys() and len(one) == 11
+    for k in one:
+        np.testing.assert_allclose(dp[k], one[k], atol=2e-5, rtol=1e-5)

@@ -102,7 +102,8 @@ def iter_wavs_from_list(data_list, target_rate=16000, num_splits=1,
 
 def extract(config, checkpoint_path, data_list, out_prefix, batch_size=8,
             overrides=None, num_splits=1, split_index=0, bf16=False,
-            read_threads=4, precision="default", **kwargs):
+            read_threads=4, precision="default", data_parallel=False,
+            **kwargs):
     """num_splits/split_index stripe the data list across independent
     processes/hosts (tools/extract_embedding.sh:40-75 equivalent).
     bf16=True casts weights+activations to bfloat16 for ~2x throughput
@@ -122,17 +123,36 @@ def extract(config, checkpoint_path, data_list, out_prefix, batch_size=8,
     with prec_ctx:
         return _extract_inner(configs, checkpoint_path, data_list,
                               out_prefix, batch_size, num_splits,
-                              split_index, bf16, read_threads)
+                              split_index, bf16, read_threads,
+                              data_parallel=data_parallel)
 
 
 def _extract_inner(configs, checkpoint_path, data_list, out_prefix,
-                   batch_size, num_splits, split_index, bf16, read_threads):
+                   batch_size, num_splits, split_index, bf16, read_threads,
+                   data_parallel=False):
     built, variables = load_model_for_eval(configs, checkpoint_path)
     compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
     if bf16:
         variables = jax.tree_util.tree_map(
             lambda a: (a.astype(jnp.bfloat16)
                        if a.dtype == jnp.float32 else a), variables)
+
+    # single-process multi-chip DP: replicate weights, shard the batch dim
+    # over every local device (the TPU-native form of the reference's
+    # file-split + CUDA_VISIBLE_DEVICES process parallelism,
+    # tools/extract_embedding.sh:40-66; --num_splits still stripes across
+    # hosts on a multi-host pod)
+    n_dev = len(jax.devices()) if data_parallel else 1
+    batch_sharding = None
+    if n_dev > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        mesh = Mesh(np.asarray(jax.devices()), ("data",))
+        variables = jax.device_put(variables, NamedSharding(mesh, P()))
+        batch_sharding = NamedSharding(mesh, P("data"))
+        if batch_size % n_dev:
+            batch_size = -(-batch_size // n_dev) * n_dev
+            logging.info(f"data_parallel: batch_size rounded up to "
+                         f"{batch_size} ({n_dev} devices)")
 
     dataset_args = configs.get("dataset_args", {})
     fbank_args = dataset_args.get("fbank_args", {})
@@ -154,9 +174,20 @@ def _extract_inner(configs, checkpoint_path, data_list, out_prefix,
     def items():
         for batch in eval_batches(wavs, batch_size=batch_size,
                                   quantum_samples=rate):
-            emb = np.asarray(embed_fn(variables, {
-                "wav": jnp.asarray(batch["wav"]),
-                "mask": jnp.asarray(batch["mask"])}))
+            wav, mask, n_real = batch["wav"], batch["mask"], len(batch["key"])
+            if n_dev > 1 and n_real % n_dev:
+                # pad the batch dim to the device count by replicating the
+                # last row (real data, so masked pooling stays well-defined;
+                # the extra outputs are dropped below)
+                pad = n_dev - n_real % n_dev
+                wav = np.concatenate([wav, np.repeat(wav[-1:], pad, 0)])
+                mask = np.concatenate([mask, np.repeat(mask[-1:], pad, 0)])
+            wav, mask = jnp.asarray(wav), jnp.asarray(mask)
+            if batch_sharding is not None:
+                wav = jax.device_put(wav, batch_sharding)
+                mask = jax.device_put(mask, batch_sharding)
+            emb = np.asarray(embed_fn(variables,
+                                      {"wav": wav, "mask": mask}))[:n_real]
             for key, vec in zip(batch["key"], emb):
                 yield key, vec
 
@@ -176,6 +207,10 @@ def main():
     ap.add_argument("--split_index", type=int, default=0)
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 weights+activations (~2x, cosine >= 0.9999)")
+    ap.add_argument("--data_parallel", action="store_true",
+                    help="shard eval batches over all local devices in this "
+                         "one process (weights replicated); combine with "
+                         "--num_splits to stripe across hosts")
     ap.add_argument("--precision", choices=["default", "high", "float32"],
                     default="default",
                     help="fp32 contraction precision on TPU: default="
@@ -188,7 +223,7 @@ def main():
     extract(args.config, args.checkpoint, args.data_list, args.out_prefix,
             args.batch_size, args.overrides, args.num_splits,
             args.split_index, bf16=args.bf16, read_threads=args.read_threads,
-            precision=args.precision)
+            precision=args.precision, data_parallel=args.data_parallel)
 
 
 if __name__ == "__main__":
