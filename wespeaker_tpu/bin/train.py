@@ -14,6 +14,8 @@ Usage: python -m wespeaker_tpu.bin.train --config conf.yaml [k=v ...]
 import argparse
 import logging
 import os
+import signal
+import threading
 import time
 
 import jax
@@ -248,6 +250,25 @@ def train(config: str, overrides=None, **kwargs):
             depth=configs.get("dataloader_args", {}).get("prefetch", 4))
     else:
         prefetch = Prefetcher(dataset.batches(global_batch))
+    def save_state(path):
+        variables = {"params": state.params["model"],
+                     "batch_stats": state.batch_stats,
+                     "projection": state.params["projection"]}
+        if state.proj_stats:
+            variables["projection_batch_stats"] = state.proj_stats
+        ckpt.save_checkpoint(path, jax.device_get(variables))
+
+    # preemption safety: maintenance events / pod reschedules deliver
+    # SIGTERM; finish the in-flight step, save preempt_model_<epoch>.ckpt
+    # and exit 0 so the restarted job resumes with
+    # checkpoint=.../preempt_model_<epoch>.ckpt (restarts that epoch —
+    # parse_start_epoch). The reference has only epoch-level restart
+    # (train.py:168-175); dataset state is intentionally not checkpointed
+    # (infinite repeat + per-epoch reshuffle, dataset.py:114-133).
+    preempted = threading.Event()
+    if threading.current_thread() is threading.main_thread():
+        signal.signal(signal.SIGTERM, lambda s, f: preempted.set())
+
     batches = iter(prefetch)
     for epoch in range(start_epoch, num_epochs):
         t0 = time.time()
@@ -263,20 +284,23 @@ def train(config: str, overrides=None, **kwargs):
                     f"loss {float(m['loss']):.4f} acc {float(m['acc']):.4f} "
                     f"lr {float(m['lr']):.6f} margin "
                     f"{float(m['margin']):.3f}")
+            if preempted.is_set():
+                jax.block_until_ready(state.params)
+                path = os.path.join(model_dir, f"preempt_model_{epoch}.ckpt")
+                if rank == 0:
+                    save_state(path)
+                logger.info(f"SIGTERM: saved {path} at epoch {epoch} it "
+                            f"{it}; resume with checkpoint={path}")
+                if hasattr(prefetch, "close"):
+                    prefetch.close()
+                return state
         logger.info(f"epoch {epoch} done in {time.time() - t0:.1f}s")
         # save every save_epoch_interval epochs plus the last num_avg epochs
         # (averaging window), reference train.py:252-257; the reference
         # counts epochs from 1, ours from 0, hence epoch + 1
         if rank == 0 and ((epoch + 1) % save_interval == 0
                           or epoch + 1 > num_epochs - num_avg):
-            variables = {"params": state.params["model"],
-                         "batch_stats": state.batch_stats,
-                         "projection": state.params["projection"]}
-            if state.proj_stats:
-                variables["projection_batch_stats"] = state.proj_stats
-            variables = jax.device_get(variables)
-            ckpt.save_checkpoint(
-                os.path.join(model_dir, f"model_{epoch}.ckpt"), variables)
+            save_state(os.path.join(model_dir, f"model_{epoch}.ckpt"))
     last = os.path.join(model_dir, f"model_{num_epochs - 1}.ckpt")
     if rank == 0 and num_epochs > start_epoch and os.path.exists(last):
         # reference symlinks final_model.pt to the last epoch (train.py:259)

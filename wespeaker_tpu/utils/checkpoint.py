@@ -94,6 +94,15 @@ def find_epoch_checkpoints(model_dir: str) -> List[str]:
 
 
 def parse_start_epoch(checkpoint_path: str) -> int:
-    """Resume epoch from the checkpoint filename (train.py:168-175)."""
-    m = re.search(r"model_(\d+)\.ckpt$", os.path.basename(checkpoint_path))
+    """Resume epoch from the checkpoint filename (train.py:168-175).
+
+    `model_N.ckpt` is a completed epoch N -> resume at N+1;
+    `preempt_model_N.ckpt` was saved mid-epoch N on SIGTERM -> restart
+    epoch N (the data pipeline reshuffles per epoch, so replaying the
+    epoch is the reference's own restart semantics)."""
+    base = os.path.basename(checkpoint_path)
+    m = re.search(r"preempt_model_(\d+)\.ckpt$", base)
+    if m:
+        return int(m.group(1))
+    m = re.search(r"model_(\d+)\.ckpt$", base)
     return int(m.group(1)) + 1 if m else 0
