@@ -69,6 +69,8 @@ def diarize(config, checkpoint_path, wav_scp, out_rttm, sad_rttm=None,
 
 
 def main():
+    from wespeaker_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--checkpoint", required=True)

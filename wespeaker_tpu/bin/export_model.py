@@ -60,6 +60,8 @@ def load_exported(path: str):
 
 
 def main():
+    from wespeaker_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--checkpoint", required=True)

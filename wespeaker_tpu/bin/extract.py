@@ -197,6 +197,8 @@ def _extract_inner(configs, checkpoint_path, data_list, out_prefix,
 
 
 def main():
+    from wespeaker_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--checkpoint", required=True)

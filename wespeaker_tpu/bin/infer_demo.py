@@ -25,6 +25,8 @@ def infer(model_path, wav_path, feat_dim=80):
 
 
 def main():
+    from wespeaker_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--model_path", required=True)
     ap.add_argument("--wav_path", required=True)

@@ -13,6 +13,8 @@ from wespeaker_tpu.utils.config import parse_config_or_kwargs
 
 
 def main():
+    from wespeaker_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--checkpoint", required=True)

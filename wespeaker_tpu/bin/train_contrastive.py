@@ -175,6 +175,8 @@ def train_contrastive(config: str, overrides=None, **kwargs):
 
 
 def main():
+    from wespeaker_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("overrides", nargs="*")

@@ -73,8 +73,22 @@ def diarize_wav(utt: str, wav: np.ndarray, sr: int, embed_batch_fn: Callable,
         seg_wav = wav[int(b * sr):int(e * sr)]
         if len(seg_wav) < fbank_cfg.window_size:
             continue
+        # pad to a power-of-2 seconds ladder so XLA compiles a bounded set
+        # of fbank shapes (~log2(max_len) total, ever) — real recordings
+        # have ~all-distinct segment lengths and each distinct shape is a
+        # fresh compile; frames below num_frames(n) never read padded
+        # samples, so the trim is exact
+        n = len(seg_wav)
+        padded_n = sr
+        while padded_n < n:
+            padded_n *= 2
+        if padded_n != n:
+            pw = np.zeros(padded_n, seg_wav.dtype)
+            pw[:n] = seg_wav
+            seg_wav = pw
         fbank = np.asarray(compute_fbank(
-            jnp.asarray(seg_wav[None] * (1 << 15)), fbank_cfg))[0]
+            jnp.asarray(seg_wav[None] * (1 << 15)),
+            fbank_cfg))[0][:fbank_cfg.num_frames(n)]
         fbank = fbank - fbank.mean(axis=0)  # per-segment CMN
         sid = segment_id(utt, b, e)
         subsegs, banks = subsegment(fbank, sid, window_fs, period_fs,

@@ -146,8 +146,14 @@ def _fused_dft_kernel(cfg: FbankConfig) -> np.ndarray:
                           axis=1).astype(np.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def _fbank_fused(wav, cfg: FbankConfig):
-    """Deterministic (dither-free) fbank as one conv + mel matmul."""
+    """Deterministic (dither-free) fbank as one conv + mel matmul.
+
+    jitted so eager callers (the diarization per-segment loop, the product
+    CLI) pay one dispatch per call instead of one per op — through a remote
+    PJRT tunnel the eager chain costs ~55 ms/segment, the jitted call ~2 ms.
+    Inside an outer jit this inlines as before."""
     kernel = jnp.asarray(_fused_dft_kernel(cfg))
     banks = jnp.asarray(make_mel_banks(cfg))
     nbins = cfg.padded_window_size // 2 + 1

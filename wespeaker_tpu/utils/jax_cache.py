@@ -1,0 +1,27 @@
+"""Persistent XLA compilation cache for the CLI entry points.
+
+First jit compiles through the remote-TPU tunnel cost 20-80 s per shape;
+the persistent cache makes repeat invocations (recipe stages re-running
+extract, serving restarts, per-model bench scripts) hit disk instead
+(measured 1.6 s -> 0.2 s across processes). No reference analogue — torch
+eager has no compile step.
+"""
+
+import os
+
+
+def enable_persistent_cache(path: str = None) -> str:
+    """Idempotently point jax at an on-disk compilation cache.
+
+    Resolution order: explicit arg > $WESPEAKER_TPU_XLA_CACHE >
+    ~/.cache/wespeaker_tpu/xla. Set WESPEAKER_TPU_XLA_CACHE=0 to disable.
+    """
+    env = os.environ.get("WESPEAKER_TPU_XLA_CACHE")
+    if env == "0":
+        return ""
+    path = path or env or os.path.join(
+        os.path.expanduser("~"), ".cache", "wespeaker_tpu", "xla")
+    os.makedirs(path, exist_ok=True)
+    import jax
+    jax.config.update("jax_compilation_cache_dir", path)
+    return path
