@@ -22,7 +22,7 @@ if [ $stage -le 1 ]; then
     --ref_rttm $data/$dset/ref.rttm
 fi
 if [ $stage -le 2 ]; then
-  echo "=== umap/PAHC clustering (needs umap-learn + hdbscan) ==="
+  echo "=== umap/PAHC clustering (native UMAP+HDBSCAN, no extra deps) ==="
   python -m wespeaker_tpu.bin.diarize \
     --config $model_dir/config.yaml \
     --checkpoint $model_dir/models/avg_model.ckpt \

@@ -71,10 +71,13 @@ def test_pahc_attaches_noise_and_absorbs_minors():
     assert len(set(labels)) == 2
 
 
-def test_umap_cluster_fallback_runs():
+def test_umap_cluster_native_recovers_speakers():
+    """Native UMAP -> HDBSCAN -> PAHC recovers the speaker structure
+    without the third-party umap-learn/hdbscan packages."""
     embs, want = _blob_embeddings()
-    labels = umap_cluster(embs)  # falls back to spectral without umap lib
+    labels = umap_cluster(embs)
     assert len(labels) == len(embs)
+    assert _cluster_accuracy(labels, want) > 0.95
 
 
 def test_merge_segments_and_der():

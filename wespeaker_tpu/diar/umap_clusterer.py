@@ -1,9 +1,11 @@
 """UMAP + HDBSCAN clustering with PAHC agglomerative repair.
 
 Behavioral spec: wespeaker/diar/umap_clusterer.py (PAHC:37, cluster:224).
-umap-learn / hdbscan are optional; when unavailable, `cluster` falls back to
-spectral clustering (the reference recipe's other supported backend) while
-PAHC remains fully functional for label repair.
+The default pipeline is self-contained: native UMAP (`diar/manifold.py`,
+jitted layout optimizer) + native exact HDBSCAN (`diar/density.py`) + PAHC.
+`impl="reference"` routes through the third-party umap-learn/hdbscan
+packages when installed (label-level comparison against the reference
+stack); parity between implementations is at the DER level.
 """
 
 import heapq
@@ -113,23 +115,34 @@ class PAHC:
         return [remap[lab] for lab in out]
 
 
-def cluster(embeddings, n_neighbors=16, min_dist=0.05) -> List[int]:
+def cluster(embeddings, n_neighbors=16, min_dist=0.05,
+            impl: str = "native") -> List[int]:
+    """UMAP(32d, cosine) -> HDBSCAN(min_cluster 4, single-cluster ok) ->
+    PAHC repair. `impl`: "native" (default, no third-party deps) or
+    "reference" (umap-learn + hdbscan packages)."""
     embeddings = np.asarray(embeddings)
     if len(embeddings) <= 2:
         return [0] * len(embeddings)
-    try:
+
+    n_components = min(32, len(embeddings) - 2)
+    if impl == "reference":
         import hdbscan
         import umap
-    except ImportError:
-        from wespeaker_tpu.diar import spectral_clusterer
-        return spectral_clusterer.cluster(embeddings)
-
-    reduced = umap.UMAP(n_components=min(32, len(embeddings) - 2),
-                        metric="cosine", n_neighbors=n_neighbors,
-                        min_dist=min_dist, random_state=2023,
-                        n_jobs=1).fit_transform(embeddings)
-    labels = hdbscan.HDBSCAN(allow_single_cluster=True, min_cluster_size=4,
-                             approx_min_span_tree=False,
-                             core_dist_n_jobs=1).fit_predict(reduced)
+        reduced = umap.UMAP(n_components=n_components,
+                            metric="cosine", n_neighbors=n_neighbors,
+                            min_dist=min_dist, random_state=2023,
+                            n_jobs=1).fit_transform(embeddings)
+        labels = hdbscan.HDBSCAN(allow_single_cluster=True,
+                                 min_cluster_size=4,
+                                 approx_min_span_tree=False,
+                                 core_dist_n_jobs=1).fit_predict(reduced)
+    else:
+        from wespeaker_tpu.diar.density import hdbscan_labels
+        from wespeaker_tpu.diar.manifold import umap_embed
+        reduced = umap_embed(embeddings, n_components=n_components,
+                             n_neighbors=n_neighbors, min_dist=min_dist,
+                             metric="cosine")
+        labels = hdbscan_labels(reduced, min_cluster_size=4,
+                                allow_single_cluster=True)
     return PAHC(merge_cutoff=0.3, min_cluster_size=3,
                 absorb_cutoff=0.0).fit_predict(labels, embeddings)
