@@ -143,3 +143,55 @@ def test_umap_embed_tiny_input_passthrough():
     x = np.random.default_rng(0).normal(size=(2, 16))
     y = umap_embed(x, n_components=8)
     assert y.shape == (2, 8)
+    # shape contract holds even when input dim < n_components
+    y2 = umap_embed(np.zeros((2, 4)), n_components=8)
+    assert y2.shape == (2, 8)
+
+
+def test_fuzzy_graph_duplicate_rows_have_no_self_loop():
+    x, _ = _blobs(n_per=20, k=2)
+    x[7] = x[3]  # exact duplicate (e.g. identical padded silence segments)
+    g = fuzzy_graph(x, n_neighbors=8, metric="euclidean")
+    assert np.all(np.diag(g) == 0.0)
+    assert g[3, 7] > 0.99  # duplicates are each other's strongest neighbor
+
+
+def test_metric_and_impl_validation():
+    x = np.random.default_rng(0).normal(size=(20, 4))
+    with pytest.raises(ValueError, match="metric"):
+        hdbscan_labels(x, 4, metric="manhattan")
+    with pytest.raises(ValueError, match="min_cluster_size"):
+        hdbscan_labels(x, 1)
+    from wespeaker_tpu.diar.umap_clusterer import cluster
+    with pytest.raises(ValueError, match="impl"):
+        cluster(x, impl="ref")
+
+
+def test_hdbscan_tiny_input_noise_semantics():
+    x = np.random.default_rng(0).normal(size=(2, 4))
+    assert hdbscan_labels(x, 4, allow_single_cluster=False) == [-1, -1]
+    assert hdbscan_labels(x, 4, allow_single_cluster=True) == [-1, -1]
+    assert hdbscan_labels(x, 2, allow_single_cluster=True) == [0, 0]
+
+
+def test_spectral_init_sparse_path_matches_dense():
+    """>1024 points routes through sparse Lanczos; the subspace it finds
+    must match the dense eigendecomposition (up to per-vector sign)."""
+    from wespeaker_tpu.diar.manifold import spectral_init
+    rng = np.random.default_rng(0)
+    x = np.vstack([rng.normal(5.0 * i, 0.5, (400, 4)) for i in range(3)])
+    g = fuzzy_graph(x, n_neighbors=8, metric="euclidean")
+    y_sparse = spectral_init(g, 4, seed=1)          # n=1200 -> sparse
+    import scipy.linalg
+    deg = np.maximum(g.sum(axis=1), 1e-12)
+    inv = 1.0 / np.sqrt(deg)
+    lap = np.eye(len(g)) - inv[:, None] * g * inv[None, :]
+    _, vec = scipy.linalg.eigh(lap, subset_by_index=(0, 4))
+    dense = vec[:, 1:5]
+    dense *= 10.0 / max(np.abs(dense).max(), 1e-12)
+    # compare column spans (eigenvectors are sign/rotation ambiguous in
+    # degenerate blocks): project one basis onto the other
+    q_s, _ = np.linalg.qr(y_sparse.astype(np.float64))
+    q_d, _ = np.linalg.qr(dense)
+    overlap = np.linalg.svd(q_s.T @ q_d, compute_uv=False)
+    assert overlap.min() > 0.99

@@ -15,6 +15,22 @@ from typing import List, Optional
 import numpy as np
 
 
+def pairwise_dist(x: np.ndarray, metric: str) -> np.ndarray:
+    """Dense pairwise distances; metric in {"cosine", "euclidean"}."""
+    if metric == "cosine":
+        e = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        d = np.maximum(1.0 - e @ e.T, 0.0)
+    elif metric == "euclidean":
+        sq = np.sum(x * x, axis=1)
+        d = np.sqrt(np.maximum(
+            sq[:, None] + sq[None, :] - 2.0 * (x @ x.T), 0.0))
+    else:
+        raise ValueError(f"unknown metric '{metric}' "
+                         "(supported: cosine, euclidean)")
+    np.fill_diagonal(d, 0.0)
+    return d
+
+
 def mutual_reachability(dist: np.ndarray, min_samples: int) -> np.ndarray:
     """max(core_i, core_j, d_ij) with core_i = distance to the
     min_samples-th nearest neighbor (self counted at index 0)."""
@@ -102,6 +118,8 @@ def condense_tree(linkage: np.ndarray, n: int,
         children[n + i] = (int(left), int(right), dist)
         sizes[n + i] = int(size)
 
+    if min_cluster_size < 2:
+        raise ValueError("min_cluster_size must be >= 2")
     rows = []
     # (linkage node, condensed cluster id it belongs to); points always
     # leave via the fallout branch below (their size 1 < min_cluster_size),
@@ -158,20 +176,17 @@ def hdbscan_labels(x: np.ndarray, min_cluster_size: int = 4,
     """
     x = np.asarray(x, np.float64)
     n = len(x)
+    if min_cluster_size < 2:
+        raise ValueError("min_cluster_size must be >= 2")
     if n <= 2:
-        return [0] * n
-    min_cluster_size = max(min_cluster_size, 2)
+        # mirrors the library: a group smaller than min_cluster_size is
+        # noise, unless a single all-points cluster is explicitly allowed
+        if allow_single_cluster and n >= min_cluster_size:
+            return [0] * n
+        return [-1] * n
     min_samples = min_cluster_size if min_samples is None else min_samples
 
-    if metric == "cosine":
-        e = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        dist = np.maximum(1.0 - e @ e.T, 0.0)
-    else:
-        sq = np.sum(x * x, axis=1)
-        dist = np.sqrt(np.maximum(
-            sq[:, None] + sq[None, :] - 2.0 * (x @ x.T), 0.0))
-    np.fill_diagonal(dist, 0.0)
-
+    dist = pairwise_dist(x, metric)
     mreach = mutual_reachability(dist, min_samples)
     np.fill_diagonal(mreach, 0.0)
     linkage = single_linkage_tree(mst_edges(mreach), n)

@@ -24,17 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-
-def _pairwise_dist(x: np.ndarray, metric: str) -> np.ndarray:
-    if metric == "cosine":
-        e = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        d = np.maximum(1.0 - e @ e.T, 0.0)
-    else:
-        sq = np.sum(x * x, axis=1)
-        d = np.sqrt(np.maximum(
-            sq[:, None] + sq[None, :] - 2.0 * (x @ x.T), 0.0))
-    np.fill_diagonal(d, 0.0)
-    return d
+from wespeaker_tpu.diar.density import pairwise_dist
 
 
 def smooth_knn_weights(knn_dist: np.ndarray, n_iter: int = 64,
@@ -68,9 +58,13 @@ def fuzzy_graph(x: np.ndarray, n_neighbors: int,
     W + W^T - W*W^T (probabilistic t-conorm)."""
     n = len(x)
     k = min(n_neighbors, n - 1)
-    dist = _pairwise_dist(x, metric)
-    order = np.argsort(dist, axis=1)[:, 1:k + 1]  # drop self
+    dist = pairwise_dist(x, metric)
+    # exclude self by index, not by sort position: exact-duplicate rows
+    # would otherwise keep themselves as a neighbor (self-loop edge)
+    np.fill_diagonal(dist, np.inf)
+    order = np.argsort(dist, axis=1)[:, :k]
     knn_d = np.take_along_axis(dist, order, axis=1)
+    np.fill_diagonal(dist, 0.0)
     w = smooth_knn_weights(knn_d)
     mat = np.zeros((n, n))
     np.put_along_axis(mat, order, w, axis=1)
@@ -80,14 +74,26 @@ def fuzzy_graph(x: np.ndarray, n_neighbors: int,
 def spectral_init(graph: np.ndarray, dim: int,
                   seed: int = 2023) -> np.ndarray:
     """Normalized-Laplacian eigenvector initialization scaled to [-10, 10]
-    plus a small jitter (umap's 'spectral' init)."""
-    import scipy.linalg
+    plus a small jitter (umap's 'spectral' init). Only dim+1 bottom
+    eigenvectors are needed: large recordings (thousands of subsegments)
+    use sparse shift-invert Lanczos on the kNN graph instead of a dense
+    O(n^3) eigendecomposition."""
     n = graph.shape[0]
     deg = np.maximum(graph.sum(axis=1), 1e-12)
     inv_sqrt = 1.0 / np.sqrt(deg)
-    lap = np.eye(n) - inv_sqrt[:, None] * graph * inv_sqrt[None, :]
     k = min(dim + 1, n)
-    _, vec = scipy.linalg.eigh(lap, subset_by_index=(0, k - 1))
+    if n > 1024 and k < n - 1:
+        import scipy.sparse
+        import scipy.sparse.linalg
+        norm_graph = scipy.sparse.csr_matrix(
+            inv_sqrt[:, None] * graph * inv_sqrt[None, :])
+        lap = (scipy.sparse.identity(n, format="csr") - norm_graph
+               + 1e-6 * scipy.sparse.identity(n, format="csr"))
+        _, vec = scipy.sparse.linalg.eigsh(lap, k=k, sigma=0.0, which="LM")
+    else:
+        import scipy.linalg
+        lap = np.eye(n) - inv_sqrt[:, None] * graph * inv_sqrt[None, :]
+        _, vec = scipy.linalg.eigh(lap, subset_by_index=(0, k - 1))
     emb = vec[:, 1:dim + 1]
     if emb.shape[1] < dim:  # degenerate tiny inputs: pad with zeros
         emb = np.pad(emb, ((0, 0), (0, dim - emb.shape[1])))
@@ -167,7 +173,11 @@ def umap_embed(x, n_components: int = 32, n_neighbors: int = 16,
     x = np.asarray(x, np.float64)
     n = len(x)
     if n <= 2 or n_components >= n:
-        return x[:, :n_components].astype(np.float32)
+        # passthrough keeps the (n, n_components) shape contract
+        out = np.zeros((n, n_components), np.float32)
+        d = min(x.shape[1], n_components)
+        out[:, :d] = x[:, :d]
+        return out
     if n_epochs is None:
         n_epochs = 500 if n <= 10000 else 200
 

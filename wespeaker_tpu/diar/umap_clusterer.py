@@ -136,7 +136,7 @@ def cluster(embeddings, n_neighbors=16, min_dist=0.05,
                                  min_cluster_size=4,
                                  approx_min_span_tree=False,
                                  core_dist_n_jobs=1).fit_predict(reduced)
-    else:
+    elif impl == "native":
         from wespeaker_tpu.diar.density import hdbscan_labels
         from wespeaker_tpu.diar.manifold import umap_embed
         reduced = umap_embed(embeddings, n_components=n_components,
@@ -144,5 +144,8 @@ def cluster(embeddings, n_neighbors=16, min_dist=0.05,
                              metric="cosine")
         labels = hdbscan_labels(reduced, min_cluster_size=4,
                                 allow_single_cluster=True)
+    else:
+        raise ValueError(f"unknown impl '{impl}' "
+                         "(choices: native, reference)")
     return PAHC(merge_cutoff=0.3, min_cluster_size=3,
                 absorb_cutoff=0.0).fit_predict(labels, embeddings)

@@ -19,9 +19,14 @@ def enable_persistent_cache(path: str = None) -> str:
     env = os.environ.get("WESPEAKER_TPU_XLA_CACHE")
     if env == "0":
         return ""
+    import jax
+    if jax.default_backend() == "cpu":
+        # CPU AOT cache entries are keyed loosely enough that XLA warns of
+        # machine-feature mismatches (possible SIGILL) when reloading on
+        # the same box; CPU compiles are fast, so cache only accelerators.
+        return ""
     path = path or env or os.path.join(
         os.path.expanduser("~"), ".cache", "wespeaker_tpu", "xla")
     os.makedirs(path, exist_ok=True)
-    import jax
     jax.config.update("jax_compilation_cache_dir", path)
     return path
