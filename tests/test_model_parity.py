@@ -38,6 +38,45 @@ def _parity(model_name, tol=2e-4, cos_tol=1e-6, B=2, T=200, F=80,
     np.testing.assert_allclose(got, want, atol=tol, rtol=1e-3)
 
 
+def _frame_feat_parity(model_name, tol=2e-4, B=2, T=200, F=80, **kwargs):
+    """Public frame-level feature API parity: our return_frame_feat=True
+    must match the reference's model.get_frame_level_feat(x) — same (B,T,D)
+    layout including the transpose(1,3)+flatten d-ordering of the 2D
+    models (e.g. wespeaker/models/resnet.py:174-180)."""
+    import torch
+    ref_model = build_reference_model(model_name, feat_dim=F, **kwargs)
+    x = np.random.default_rng(0).normal(size=(B, T, F)).astype(np.float32)
+    with torch.no_grad():
+        want = ref_model.get_frame_level_feat(torch.from_numpy(x)).numpy()
+
+    model = get_speaker_model(model_name)(feat_dim=F, **kwargs)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, F)))
+    variables = torch_to_flax_variables(ref_model.state_dict(), variables,
+                                        rules=rules_for(model_name))
+    got = np.asarray(model.apply(variables, jnp.asarray(x),
+                                 return_frame_feat=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=tol, rtol=1e-3)
+
+
+@pytest.mark.parametrize("name,kwargs", [
+    ("ECAPA_TDNN_GLOB_c512", dict(embed_dim=192)),
+    ("XVEC", dict(embed_dim=512)),
+    ("ResNet34", dict(embed_dim=256)),
+    ("Res2Net34_Base", dict(embed_dim=192)),
+    ("ERes2Net34_Base", dict(embed_dim=192)),
+    ("Gemini_DF_ResNet60", dict(embed_dim=128)),
+    ("REPVGG_TINY_A0", dict(embed_dim=256)),
+    ("CAMPPlus", dict(embed_dim=192)),
+])
+def test_frame_level_feat_parity(name, kwargs):
+    _frame_feat_parity(name, **kwargs)
+
+
+def test_frame_level_feat_parity_redimnet():
+    _frame_feat_parity("ReDimNetB0", embed_dim=192, F=60, T=120)
+
+
 @pytest.mark.parametrize("glob_att", [False, True])
 def test_ecapa_c512(glob_att):
     name = "ECAPA_TDNN_GLOB_c512" if glob_att else "ECAPA_TDNN_c512"

@@ -170,9 +170,14 @@ class ERes2Net(nn.Module):
                                                         train)
 
         b, fdim, tdim, c = fuse1234.shape
-        feat = jnp.transpose(fuse1234, (0, 2, 3, 1)).reshape(b, tdim, c * fdim)
         if return_frame_feat:
-            return feat
+            # public frame-level API (B, T, F'*C), d = f*C + c — the
+            # reference's transpose(1,3)+flatten ordering (eres2net.py:370-377);
+            # the pooling path below keeps the c-major (B, C*F', T)
+            # internal ordering
+            return jnp.transpose(fuse1234, (0, 2, 1, 3)).reshape(
+                b, tdim, fdim * c)
+        feat = jnp.transpose(fuse1234, (0, 2, 3, 1)).reshape(b, tdim, c * fdim)
         fmask = None
         if mask is not None:
             fmask = mask[:, ::8][:, :tdim]

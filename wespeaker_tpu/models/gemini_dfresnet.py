@@ -63,9 +63,14 @@ class Gemini_DF_ResNet(nn.Module):
                                        name=f"stages_{i}_{j}")(h, train)
 
         b, fdim, tdim, c = h.shape
-        feat = jnp.transpose(h, (0, 2, 3, 1)).reshape(b, tdim, c * fdim)
         if return_frame_feat:
-            return feat
+            # public frame-level API (B, T, F'*C), d = f*C + c — the
+            # reference's transpose(1,3)+flatten ordering (gemini_dfresnet.py:120-127);
+            # the pooling path below keeps the c-major (B, C*F', T)
+            # internal ordering
+            return jnp.transpose(h, (0, 2, 1, 3)).reshape(
+                b, tdim, fdim * c)
+        feat = jnp.transpose(h, (0, 2, 3, 1)).reshape(b, tdim, c * fdim)
         fmask = mask[:, ::2][:, :tdim] if mask is not None else None
         stats_dim = (self.feat_dim // 16) * self.dims[-1]
         pooled = get_pooling(self.pooling_func, stats_dim,

@@ -154,9 +154,14 @@ class RepVGG(nn.Module):
                 layer_idx += 1
 
         b, fdim, tdim, c = h.shape
-        feat = jnp.transpose(h, (0, 2, 3, 1)).reshape(b, tdim, c * fdim)
         if return_frame_feat:
-            return feat
+            # public frame-level API (B, T, F'*C), d = f*C + c — the
+            # reference's transpose(1,3)+flatten ordering (repvgg.py:574-581);
+            # the pooling path below keeps the c-major (B, C*F', T)
+            # internal ordering
+            return jnp.transpose(h, (0, 2, 1, 3)).reshape(
+                b, tdim, fdim * c)
+        feat = jnp.transpose(h, (0, 2, 3, 1)).reshape(b, tdim, c * fdim)
         down = int(np.prod(self.strides))
         fmask = mask[:, ::down][:, :tdim] if mask is not None else None
         stats_dim = in_planes * (self.feat_dim // down)

@@ -85,9 +85,14 @@ class Res2Net(nn.Module):
                 in_planes = planes * BasicBlockRes2Net.expansion
 
         b, fdim, tdim, c = h.shape
-        feat = jnp.transpose(h, (0, 2, 3, 1)).reshape(b, tdim, c * fdim)
         if return_frame_feat:
-            return feat
+            # public frame-level API (B, T, F'*C), d = f*C + c — the
+            # reference's transpose(1,3)+flatten ordering (res2net.py:170-177);
+            # the pooling path below keeps the c-major (B, C*F', T)
+            # internal ordering
+            return jnp.transpose(h, (0, 2, 1, 3)).reshape(
+                b, tdim, fdim * c)
+        feat = jnp.transpose(h, (0, 2, 3, 1)).reshape(b, tdim, c * fdim)
         fmask = mask[:, ::8][:, :tdim] if mask is not None else None
         stats_dim = (self.feat_dim // 8) * self.m_channels * 8
         pooled = get_pooling(self.pooling_func,

@@ -106,9 +106,14 @@ class ResNet(nn.Module):
 
         # (B, F', T', C) -> (B, T', C*F') with d = c*F' + f (reference order).
         b, fdim, tdim, c = h.shape
-        feat = jnp.transpose(h, (0, 2, 3, 1)).reshape(b, tdim, c * fdim)
         if return_frame_feat:
-            return feat
+            # public frame-level API (B, T, F'*C), d = f*C + c — the
+            # reference's transpose(1,3)+flatten ordering (resnet.py:174-180);
+            # the pooling path below keeps the c-major (B, C*F', T)
+            # internal ordering
+            return jnp.transpose(h, (0, 2, 1, 3)).reshape(
+                b, tdim, fdim * c)
+        feat = jnp.transpose(h, (0, 2, 3, 1)).reshape(b, tdim, c * fdim)
         if mask is not None:
             # time axis was downsampled 8x by the three stride-2 stages
             fmask = mask[:, ::8][:, :tdim] if mask.shape[1] >= tdim else None

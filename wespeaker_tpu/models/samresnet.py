@@ -87,9 +87,14 @@ class SimAM_ResNet_ASP(nn.Module):
         h = SimAMResNetTrunk(self.in_planes, self.num_blocks,
                              name="front")(h, train)
         b, fdim, tdim, c = h.shape
-        feat = jnp.transpose(h, (0, 2, 3, 1)).reshape(b, tdim, c * fdim)
         if return_frame_feat:
-            return feat
+            # public frame-level API (B, T, F'*C), d = f*C + c — the
+            # reference's transpose(1,3)+flatten ordering (resnet.py:174-180 convention);
+            # the pooling path below keeps the c-major (B, C*F', T)
+            # internal ordering
+            return jnp.transpose(h, (0, 2, 1, 3)).reshape(
+                b, tdim, fdim * c)
+        feat = jnp.transpose(h, (0, 2, 3, 1)).reshape(b, tdim, c * fdim)
         fmask = mask[:, ::8][:, :tdim] if mask is not None else None
         pooled = ASP(self.in_planes * 8 * (self.feat_dim // 8),
                      name="pooling")(feat, fmask, train)
