@@ -70,6 +70,41 @@ def test_speaker_api(model_dir, tmp_path):
     assert isinstance(merged, list)
 
 
+def test_diarize_data_parallel_matches_single(model_dir, tmp_path):
+    """diarize --data_parallel shards subsegment batches over the 8 virtual
+    devices and must produce the same RTTM as the single-device run."""
+    from wespeaker_tpu.bin.diarize import diarize
+
+    assert len(jax.devices()) == 8
+    wav = tmp_path / "rec.wav"
+    t = np.arange(16000 * 12) / 16000.0
+    seg = (t // 3).astype(int) % 2
+    sig = 0.3 * np.sin(2 * np.pi * np.where(seg == 0, 220, 900) * t)
+    write_wav(wav, sig.astype(np.float32), 16000)
+    scp = tmp_path / "wav.scp"
+    scp.write_text(f"rec {wav}\n")
+
+    out1, _ = diarize(model_dir + "/config.yaml",
+                      model_dir + "/avg_model.ckpt", str(scp),
+                      str(tmp_path / "a.rttm"), batch_size=8)
+    out2, _ = diarize(model_dir + "/config.yaml",
+                      model_dir + "/avg_model.ckpt", str(scp),
+                      str(tmp_path / "b.rttm"), batch_size=8,
+                      data_parallel=True)
+    def parse(path):
+        segs, mapping = [], {}
+        for ln in open(path):
+            p = ln.split()
+            lab = mapping.setdefault(p[7], len(mapping))  # canonical ids
+            segs.append((p[1], p[3], p[4], lab))
+        return segs
+
+    # k-means label ids are not deterministic; compare boundaries and
+    # labels up to permutation (first-appearance canonical order)
+    assert parse(out1) == parse(out2)
+    assert open(out1).read().startswith("SPEAKER rec")
+
+
 def test_extract_data_parallel_matches_single(model_dir, tmp_path):
     """--data_parallel shards eval batches over the 8 virtual devices and
     must reproduce the single-device embeddings (incl. the replicated-row
