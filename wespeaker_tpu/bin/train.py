@@ -134,10 +134,16 @@ def train(config: str, overrides=None, **kwargs):
     # per-device batch rides each model group
     global_batch = batch_size * mesh.shape["data"]
     num_epochs = configs.get("num_epochs", 10)
-    with open(configs["train_data"]) as f:
-        num_samples = sum(1 for _ in f)
-    if configs["data_type"] == "shard":
-        num_samples = configs.get("samples_per_epoch", num_samples * 1000)
+    # explicit samples_per_epoch always wins (the pipeline repeats
+    # indefinitely, so an epoch is just an accounting unit); otherwise one
+    # epoch = one pass over the list (raw/feat: utterances per line; shard:
+    # ~1000 utts per tar line)
+    num_samples = configs.get("samples_per_epoch")
+    if num_samples is None:
+        with open(configs["train_data"]) as f:
+            num_samples = sum(1 for _ in f)
+        if configs["data_type"] == "shard":
+            num_samples *= 1000
     epoch_iter = max(num_samples // (global_batch), 1)
 
     sched_args = dict(configs.get("scheduler_args", {}))
