@@ -80,6 +80,72 @@ def test_umap_cluster_native_recovers_speakers():
     assert _cluster_accuracy(labels, want) > 0.95
 
 
+def test_silero_post_processing_segments():
+    """get_speech_timestamps hysteresis: trigger/release thresholds, min
+    speech/silence durations, boundary padding (silero semantics driven by
+    a synthetic probability track)."""
+    from wespeaker_tpu.diar.vad import get_speech_timestamps
+    sr, w = 16000, 512
+    probs = np.zeros(300, np.float32)
+    probs[20:80] = 0.9     # ~1.9 s speech
+    probs[82:84] = 0.2     # 2-window dip below neg_threshold: too short
+    probs[84:120] = 0.9    # same segment continues
+    probs[200:205] = 0.9   # ~0.16 s blip < min_speech: dropped
+    stamps = get_speech_timestamps(probs, w, 300 * w, sr, threshold=0.5)
+    assert len(stamps) == 1
+    b, e = stamps[0]
+    assert abs(b - (20 * w - 0.03 * sr)) <= w  # padded start
+    assert 119 * w <= e <= 121 * w + 0.03 * sr
+
+    # a sustained gap >= min_silence splits segments
+    probs2 = np.zeros(300, np.float32)
+    probs2[10:60] = 0.9
+    probs2[70:130] = 0.9   # 10-window gap = 0.32 s > min_silence 0.1 s
+    stamps2 = get_speech_timestamps(probs2, w, 300 * w, sr, threshold=0.5)
+    assert len(stamps2) == 2
+
+
+def test_system_sad_energy_fallback_and_min_duration():
+    from wespeaker_tpu.diar.vad import system_sad
+    sr = 16000
+    rng = np.random.default_rng(0)
+    wav = np.zeros(sr * 6, np.float32)
+    wav[sr:3 * sr] = 0.5 * np.sin(2 * np.pi * 300 * np.arange(2 * sr) / sr)
+    wav += 1e-4 * rng.standard_normal(len(wav))
+    segs = system_sad(wav, sr)
+    assert len(segs) == 1
+    b, e = segs[0]
+    assert abs(b - 1.0) < 0.1 and abs(e - 3.0) < 0.1
+    # min_duration filters the segment out entirely
+    assert system_sad(wav, sr, min_duration=5.0) == []
+
+
+def test_torch_jit_vad_adapter(tmp_path):
+    """A scripted stand-in with the silero interface (forward(chunk, sr),
+    reset_states) drives the same post-processing end to end."""
+    torch = pytest.importorskip("torch")
+
+    class EnergyVad(torch.nn.Module):
+        def reset_states(self):
+            pass
+
+        def forward(self, chunk, sr: int):
+            rms = torch.sqrt(torch.mean(chunk * chunk) + 1e-12)
+            return torch.sigmoid((20.0 * torch.log10(rms) + 20.0)).reshape(1)
+
+    path = str(tmp_path / "vad.jit")
+    torch.jit.script(EnergyVad()).save(path)
+
+    from wespeaker_tpu.diar.vad import system_sad
+    sr = 16000
+    wav = np.zeros(sr * 4, np.float32)
+    wav[sr:2 * sr] = 0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)
+    segs = system_sad(wav, sr, model_path=path, threshold=0.5)
+    assert len(segs) == 1
+    b, e = segs[0]
+    assert abs(b - 1.0) < 0.1 and abs(e - 2.0) < 0.1
+
+
 def test_merge_segments_and_der():
     labels = {
         "u": [(0.0, 1.5, "0"), (0.75, 2.25, "0"), (2.5, 4.0, "1")],

@@ -21,6 +21,7 @@ from wespeaker_tpu.utils.config import parse_config_or_kwargs
 def diarize(config, checkpoint_path, wav_scp, out_rttm, sad_rttm=None,
             clusterer="spectral", num_spks=None, ref_rttm=None,
             batch_size=64, bf16=False, data_parallel=False,
+            sad_model=None, sad_threshold=0.18,
             overrides=None, **kwargs):
     """bf16 casts weights+activations (~2x embedding throughput, cluster
     structure unchanged). data_parallel shards each subsegment batch over
@@ -81,9 +82,16 @@ def diarize(config, checkpoint_path, wav_scp, out_rttm, sad_rttm=None,
                 if sr != rate:
                     from wespeaker_tpu.data.pipeline import resample_array
                     wav, sr = resample_array(wav, sr, rate), rate
+                sad = oracle.get(utt) if sad_rttm else None
+                if sad is None and sad_model:
+                    # silero post-processing over a torch.jit prob model
+                    # (make_system_sad.py:44-62, threshold 0.18)
+                    from wespeaker_tpu.diar.vad import system_sad
+                    sad = system_sad(wav, sr, sad_model,
+                                     threshold=sad_threshold)
                 merged, _ = diarize_wav(
                     utt, wav, sr, embed_batch,
-                    sad_segments=oracle.get(utt),
+                    sad_segments=sad,
                     fbank_cfg=fbank_cfg, clusterer=clusterer,
                     num_spks=num_spks, batch_size=batch_size)
                 rttm_mod.write_rttm(merged, fout)
@@ -106,6 +114,12 @@ def main():
     ap.add_argument("--out_rttm", required=True)
     ap.add_argument("--sad_rttm", default=None,
                     help="oracle SAD source rttm; energy VAD if omitted")
+    ap.add_argument("--sad_model", default=None,
+                    help="silero-style torch.jit VAD model file for system "
+                         "SAD (host CPU); energy VAD if omitted")
+    ap.add_argument("--sad_threshold", type=float, default=0.18,
+                    help="speech probability trigger (the reference "
+                         "diarization recipe uses 0.18)")
     ap.add_argument("--clusterer", default="spectral",
                     choices=["spectral", "umap"])
     ap.add_argument("--num_spks", type=int, default=None)
@@ -121,7 +135,8 @@ def main():
     diarize(args.config, args.checkpoint, args.wav_scp, args.out_rttm,
             args.sad_rttm, args.clusterer, args.num_spks, args.ref_rttm,
             batch_size=args.batch_size, bf16=args.bf16,
-            data_parallel=args.data_parallel, overrides=args.overrides)
+            data_parallel=args.data_parallel, sad_model=args.sad_model,
+            sad_threshold=args.sad_threshold, overrides=args.overrides)
 
 
 if __name__ == "__main__":
