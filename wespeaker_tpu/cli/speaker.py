@@ -72,6 +72,12 @@ class Speaker:
         self.diar_num_spks = None
         self.diar_min_num_spks = 1
         self.diar_max_num_spks = 20
+        self.diar_min_duration = 0.255
+        self.diar_window_secs = 1.5
+        self.diar_period_secs = 0.75
+        self.diar_frame_shift = 10
+        self.diar_batch_size = 32
+        self.diar_subseg_cmn = True
 
         self._embed_jit = jax.jit(self._embed)
 
@@ -90,10 +96,21 @@ class Speaker:
         self._embed_jit = self._jax.jit(self._embed)
 
     def set_diarization_params(self, num_spks=None, min_num_spks=1,
-                               max_num_spks=20):
+                               max_num_spks=20, min_duration: float = 0.255,
+                               window_secs: float = 1.5,
+                               period_secs: float = 0.75,
+                               frame_shift: int = 10, batch_size: int = 32,
+                               subseg_cmn: bool = True):
+        """Superset of the reference cli/speaker.py:82-96 knobs."""
         self.diar_num_spks = num_spks
         self.diar_min_num_spks = min_num_spks
         self.diar_max_num_spks = max_num_spks
+        self.diar_min_duration = min_duration
+        self.diar_window_secs = window_secs
+        self.diar_period_secs = period_secs
+        self.diar_frame_shift = frame_shift
+        self.diar_batch_size = batch_size
+        self.diar_subseg_cmn = subseg_cmn
 
     # ---- core ----
     def _fbank_cfg(self):
@@ -181,9 +198,19 @@ class Speaker:
         def embed_batch(banks):
             return np.asarray(self._embed_jit(self._jnp.asarray(banks)))
 
+        import dataclasses
+        fs = self.diar_frame_shift
+        sad = [(b, e) for b, e in energy_vad(wav, sr)
+               if e - b >= self.diar_min_duration]
         merged, _ = diarize_wav(
-            utt, wav, sr, embed_batch, fbank_cfg=self._fbank_cfg(),
-            clusterer="umap", num_spks=self.diar_num_spks)
+            utt, wav, sr, embed_batch, sad_segments=sad,
+            fbank_cfg=dataclasses.replace(self._fbank_cfg(),
+                                          frame_shift_ms=fs),
+            window_fs=int(self.diar_window_secs * 1000 / fs),
+            period_fs=int(self.diar_period_secs * 1000 / fs),
+            clusterer="umap", num_spks=self.diar_num_spks,
+            batch_size=self.diar_batch_size,
+            subseg_cmn=self.diar_subseg_cmn)
         return merged
 
     def diarize_list(self, scp_path: str):
@@ -215,22 +242,43 @@ def load_model(model_name_or_path: str) -> Speaker:
 
 def main():
     parser = argparse.ArgumentParser(description="wespeaker-tpu CLI")
-    parser.add_argument("--task", default="embedding",
+    parser.add_argument("-t", "--task", default="embedding",
                         choices=["embedding", "embedding_kaldi", "similarity",
-                                 "diarization"])
-    parser.add_argument("-p", "--pretrain", required=True,
-                        help="model directory")
+                                 "diarization", "diarization_list"])
+    parser.add_argument("-p", "--pretrain", default=None,
+                        help="model directory (or omit and use --language "
+                             "to download a published model)")
+    parser.add_argument("-l", "--language", default="chinese",
+                        choices=["chinese", "english"],
+                        help="hub model when --pretrain is omitted "
+                             "(needs network once)")
     parser.add_argument("--audio_file", default=None)
     parser.add_argument("--audio_file2", default=None)
     parser.add_argument("--wav_scp", default=None)
     parser.add_argument("--resample_rate", type=int, default=16000)
     parser.add_argument("--vad", action="store_true")
     parser.add_argument("--output_file", default=None)
+    # diarization knobs (reference cli/utils.py:95-121 defaults)
+    parser.add_argument("--diar_num_spks", type=int, default=None)
+    parser.add_argument("--diar_min_duration", type=float, default=0.255)
+    parser.add_argument("--diar_window_secs", type=float, default=1.5)
+    parser.add_argument("--diar_period_secs", type=float, default=0.75)
+    parser.add_argument("--diar_frame_shift", type=int, default=10)
+    parser.add_argument("--diar_emb_bs", type=int, default=32)
+    parser.add_argument("--diar_subseg_cmn", default=True,
+                        type=lambda x: str(x).lower() == "true")
     args = parser.parse_args()
 
-    model = load_model(args.pretrain)
+    model = load_model(args.pretrain or args.language)
     model.set_resample_rate(args.resample_rate)
     model.set_vad(args.vad)
+    model.set_diarization_params(num_spks=args.diar_num_spks,
+                                 min_duration=args.diar_min_duration,
+                                 window_secs=args.diar_window_secs,
+                                 period_secs=args.diar_period_secs,
+                                 frame_shift=args.diar_frame_shift,
+                                 batch_size=args.diar_emb_bs,
+                                 subseg_cmn=args.diar_subseg_cmn)
 
     if args.task == "embedding":
         emb = model.extract_embedding(args.audio_file)
@@ -247,6 +295,14 @@ def main():
         print(model.compute_similarity(args.audio_file, args.audio_file2))
     elif args.task == "diarization":
         merged = model.diarize(args.audio_file)
+        if args.output_file:
+            model.make_rttm(merged, args.output_file)
+        else:
+            for (utt, b, e, lab) in merged:
+                print(f"{utt} {b:.3f} {e:.3f} {lab}")
+    elif args.task == "diarization_list":
+        results = model.diarize_list(args.wav_scp)
+        merged = [seg for _, segs in results for seg in segs]
         if args.output_file:
             model.make_rttm(merged, args.output_file)
         else:

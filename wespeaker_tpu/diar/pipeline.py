@@ -57,9 +57,12 @@ def diarize_wav(utt: str, wav: np.ndarray, sr: int, embed_batch_fn: Callable,
                 fbank_cfg: FbankConfig = FbankConfig(),
                 window_fs: int = 150, period_fs: int = 75,
                 clusterer: str = "spectral", num_spks: Optional[int] = None,
-                batch_size: int = 64):
+                batch_size: int = 64, subseg_cmn: bool = True):
     """embed_batch_fn: (B, window_fs, F) fbank -> (B, D) embeddings.
-    Returns (merged segments [(utt, begin, end, label)], subseg labels)."""
+    Returns (merged segments [(utt, begin, end, label)], subseg labels).
+    subseg_cmn=True (the reference default, diar/make_fbank.py:74-88 +
+    cli/speaker.py:108-112) mean-normalizes each sliding window; False
+    normalizes once per SAD segment."""
     import jax.numpy as jnp
 
     if sad_segments is None:
@@ -89,7 +92,8 @@ def diarize_wav(utt: str, wav: np.ndarray, sr: int, embed_batch_fn: Callable,
         fbank = np.asarray(compute_fbank(
             jnp.asarray(seg_wav[None] * (1 << 15)),
             fbank_cfg))[0][:fbank_cfg.num_frames(n)]
-        fbank = fbank - fbank.mean(axis=0)  # per-segment CMN
+        if not subseg_cmn:
+            fbank = fbank - fbank.mean(axis=0)  # per-SAD-segment CMN
         sid = segment_id(utt, b, e)
         subsegs, banks = subsegment(fbank, sid, window_fs, period_fs,
                                     frame_shift)
@@ -99,6 +103,8 @@ def diarize_wav(utt: str, wav: np.ndarray, sr: int, embed_batch_fn: Callable,
         return [], {}
 
     banks = np.concatenate(all_banks)
+    if subseg_cmn:
+        banks = banks - banks.mean(axis=1, keepdims=True)
     embs = []
     for i in range(0, len(banks), batch_size):
         chunk = banks[i:i + batch_size]
