@@ -69,6 +69,14 @@ def test_speaker_api(model_dir, tmp_path):
     merged = spk.diarize(a, utt="rec1")
     assert isinstance(merged, list)
 
+    # batched embeddings from precomputed fbank windows; padding path
+    fb = [np.random.default_rng(i).normal(size=(150, 40)).astype(np.float32)
+          for i in range(5)]
+    embs5 = spk.extract_embedding_from_feats(fb, batch_size=2)
+    assert embs5.shape == (5, 64)
+    one = spk.extract_embedding_from_feats(fb[:1], batch_size=2)
+    np.testing.assert_allclose(one[0], embs5[0], atol=1e-5)
+
 
 def test_diarize_data_parallel_matches_single(model_dir, tmp_path):
     """diarize --data_parallel shards subsegment batches over the 8 virtual

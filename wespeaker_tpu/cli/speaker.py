@@ -176,6 +176,29 @@ class Speaker:
         return self.cosine_similarity(self.extract_embedding(audio_path1),
                                       self.extract_embedding(audio_path2))
 
+    def extract_embedding_from_feats(self, fbanks, batch_size: int = None,
+                                     subseg_cmn: bool = None):
+        """Batched embeddings from precomputed fbank windows
+        (cli/speaker.py:108-123): optional per-window CMN, fixed-size
+        padded batches through the jitted forward."""
+        jnp = self._jnp
+        batch_size = batch_size or self.diar_batch_size
+        if subseg_cmn is None:
+            subseg_cmn = self.diar_subseg_cmn
+        arr = np.stack([np.asarray(f, np.float32) for f in fbanks])
+        if subseg_cmn:
+            arr = arr - arr.mean(axis=1, keepdims=True)
+        out = []
+        for i in range(0, len(arr), batch_size):
+            chunk = arr[i:i + batch_size]
+            pad = batch_size - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+            out.append(np.asarray(
+                self._embed_jit(jnp.asarray(chunk)))[:len(arr[i:i + batch_size])])
+        return np.vstack(out)
+
     def register(self, name: str, audio_path: str):
         if name in self.table:
             raise ValueError(f"speaker {name} already registered")
