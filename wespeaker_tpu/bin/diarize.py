@@ -44,21 +44,9 @@ def diarize(config, checkpoint_path, wav_scp, out_rttm, sad_rttm=None,
         frame_shift_ms=fbank_args.get("frame_shift", 10),
         sample_rate=rate, dither=0.0)
 
-    compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
-    if bf16:
-        variables = jax.tree_util.tree_map(
-            lambda a: (a.astype(jnp.bfloat16)
-                       if a.dtype == jnp.float32 else a), variables)
-    batch_sharding = None
-    n_dev = len(jax.devices()) if data_parallel else 1
-    if n_dev > 1:
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-        mesh = Mesh(np.asarray(jax.devices()), ("data",))
-        variables = jax.device_put(variables, NamedSharding(mesh, P()))
-        batch_sharding = NamedSharding(mesh, P("data"))
-        batch_size = -(-batch_size // n_dev) * n_dev
-    else:
-        variables = jax.device_put(variables)  # weight residency
+    from wespeaker_tpu.utils.eval_device import prepare_eval_placement
+    variables, compute_dtype, batch_sharding, batch_size = \
+        prepare_eval_placement(variables, bf16, data_parallel, batch_size)
 
     fwd = jax.jit(lambda feats: model.apply(
         variables, feats.astype(compute_dtype),
@@ -71,6 +59,12 @@ def diarize(config, checkpoint_path, wav_scp, out_rttm, sad_rttm=None,
         return np.asarray(fwd(a))
 
     oracle = rttm_mod.oracle_sad(sad_rttm) if sad_rttm else {}
+    sad_prob_fn = None
+    sad_window = int(rate * 0.032)  # silero chunk: 512 @ 16 kHz, 256 @ 8 kHz
+    if sad_model:
+        # load the torch.jit VAD once, not per recording
+        from wespeaker_tpu.diar.vad import TorchJitVad
+        sad_prob_fn = TorchJitVad(sad_model, sad_window).speech_probs
     hyp = {}
     with open(out_rttm, "w") as fout:
         with open(wav_scp) as f:
@@ -83,12 +77,13 @@ def diarize(config, checkpoint_path, wav_scp, out_rttm, sad_rttm=None,
                     from wespeaker_tpu.data.pipeline import resample_array
                     wav, sr = resample_array(wav, sr, rate), rate
                 sad = oracle.get(utt) if sad_rttm else None
-                if sad is None and sad_model:
+                if sad is None and sad_prob_fn is not None:
                     # silero post-processing over a torch.jit prob model
                     # (make_system_sad.py:44-62, threshold 0.18)
                     from wespeaker_tpu.diar.vad import system_sad
-                    sad = system_sad(wav, sr, sad_model,
-                                     threshold=sad_threshold)
+                    sad = system_sad(wav, sr, prob_fn=sad_prob_fn,
+                                     threshold=sad_threshold,
+                                     window_samples=sad_window)
                 merged, _ = diarize_wav(
                     utt, wav, sr, embed_batch,
                     sad_segments=sad,

@@ -131,28 +131,11 @@ def _extract_inner(configs, checkpoint_path, data_list, out_prefix,
                    batch_size, num_splits, split_index, bf16, read_threads,
                    data_parallel=False):
     built, variables = load_model_for_eval(configs, checkpoint_path)
-    compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
-    if bf16:
-        variables = jax.tree_util.tree_map(
-            lambda a: (a.astype(jnp.bfloat16)
-                       if a.dtype == jnp.float32 else a), variables)
-
-    # single-process multi-chip DP: replicate weights, shard the batch dim
-    # over every local device (the TPU-native form of the reference's
-    # file-split + CUDA_VISIBLE_DEVICES process parallelism,
-    # tools/extract_embedding.sh:40-66; --num_splits still stripes across
-    # hosts on a multi-host pod)
+    # --num_splits still stripes across hosts on a multi-host pod
+    from wespeaker_tpu.utils.eval_device import prepare_eval_placement
+    variables, compute_dtype, batch_sharding, batch_size = \
+        prepare_eval_placement(variables, bf16, data_parallel, batch_size)
     n_dev = len(jax.devices()) if data_parallel else 1
-    batch_sharding = None
-    if n_dev > 1:
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-        mesh = Mesh(np.asarray(jax.devices()), ("data",))
-        variables = jax.device_put(variables, NamedSharding(mesh, P()))
-        batch_sharding = NamedSharding(mesh, P("data"))
-        if batch_size % n_dev:
-            batch_size = -(-batch_size // n_dev) * n_dev
-            logging.info(f"data_parallel: batch_size rounded up to "
-                         f"{batch_size} ({n_dev} devices)")
 
     dataset_args = configs.get("dataset_args", {})
     fbank_args = dataset_args.get("fbank_args", {})

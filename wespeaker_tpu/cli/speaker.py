@@ -217,6 +217,11 @@ class Speaker:
         wav, sr = read_wav(audio_path)
         if wav.ndim > 1:
             wav = wav[0]
+        if sr != self.resample_rate:
+            from scipy.signal import resample_poly
+            g = int(np.gcd(sr, self.resample_rate))
+            wav = resample_poly(wav, self.resample_rate // g, sr // g)
+            sr = self.resample_rate
 
         def embed_batch(banks):
             return np.asarray(self._embed_jit(self._jnp.asarray(banks)))
@@ -256,11 +261,17 @@ def load_model_local(model_dir: str) -> Speaker:
 
 
 def load_model(model_name_or_path: str) -> Speaker:
+    """A local model dir, or a hub name ('chinese', 'english', 'campplus',
+    ... — cli/hub.py ASSETS) downloaded+cached on first use (needs network
+    once; offline the URLError propagates with the failing URL)."""
     if os.path.isdir(model_name_or_path):
         return Speaker(model_name_or_path)
+    from wespeaker_tpu.cli.hub import ASSETS, Hub
+    if model_name_or_path in ASSETS:
+        return Speaker(Hub.get_model(model_name_or_path))
     raise ValueError(
-        "model hub download requires network access; pass a local model dir "
-        "containing config.yaml + checkpoint")
+        f"'{model_name_or_path}' is neither a model directory nor a hub "
+        f"model name (options: {sorted(ASSETS)})")
 
 
 def main():

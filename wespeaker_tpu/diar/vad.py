@@ -119,6 +119,16 @@ def get_speech_timestamps(probs: np.ndarray, window_samples: int,
     return [(sp["start"], sp["end"]) for sp in speeches]
 
 
+def _pad_to_windows(wav: np.ndarray, window_samples: int) -> np.ndarray:
+    """Zero-pad so the trailing partial window is scored rather than
+    dropped (silero pads the last chunk the same way)."""
+    rem = len(wav) % window_samples
+    if rem:
+        wav = np.concatenate(
+            [wav, np.zeros(window_samples - rem, wav.dtype)])
+    return wav
+
+
 class TorchJitVad:
     """Adapter for a silero-style torch.jit VAD model file: callable
     `model(chunk_tensor, sr) -> prob` per window, with optional
@@ -136,6 +146,7 @@ class TorchJitVad:
         if hasattr(self.model, "reset_states"):
             self.model.reset_states()
         w = self.window_samples
+        wav = _pad_to_windows(wav, w)
         n = len(wav) // w
         probs = np.empty(n, np.float32)
         with torch.no_grad():
@@ -154,10 +165,11 @@ def energy_probs(wav: np.ndarray, sr: int,
     """Fallback prob model: window RMS in dB relative to the recording
     peak, squashed to (0,1) around `threshold_db` — lets the silero
     post-processing drive the no-weights path."""
+    wav = _pad_to_windows(np.asarray(wav), window_samples)
     n = len(wav) // window_samples
     if n == 0:
         return np.zeros(0, np.float32)
-    frames = wav[:n * window_samples].reshape(n, window_samples)
+    frames = wav.reshape(n, window_samples)
     db = 10 * np.log10(np.mean(frames.astype(np.float64) ** 2, 1) + 1e-12)
     rel = db - (db.max() + threshold_db)
     return (1.0 / (1.0 + np.exp(-rel / 3.0))).astype(np.float32)
