@@ -71,3 +71,98 @@ def test_two_process_distributed(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{i} failed:\n{out[-3000:]}"
         assert f"proc{i} ok" in out
+
+
+TRAIN_WORKER = textwrap.dedent("""
+    import os, sys
+    for k in list(os.environ):
+        if "AXON" in k or k in ("PJRT_LIBRARY_PATH", "TPU_LIBRARY_PATH"):
+            del os.environ[k]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1]); coord = sys.argv[2]; root = sys.argv[3]
+    from wespeaker_tpu.bin.train import train
+    train(os.path.join(root, "tiny.yaml"),
+          distributed_args={"coordinator": coord, "num_processes": 2,
+                            "process_id": pid})
+    print(f"proc{pid} train done")
+""")
+
+
+@pytest.mark.slow
+def test_two_process_train(tmp_path):
+    """The full supervised trainer across 2 processes x 2 virtual devices:
+    rank-striped local batches assembled into global arrays
+    (make_array_from_process_local_data in shard_batch), psum'd grads,
+    rank-0 checkpointing."""
+    import json
+
+    import numpy as np
+
+    from wespeaker_tpu.data.wav_io import write_wav
+
+    rng = np.random.default_rng(0)
+    lines, u2s = [], []
+    for s in range(4):
+        for u in range(4):
+            key = f"s{s}u{u}"
+            path = tmp_path / f"{key}.wav"
+            t = np.arange(32000) / 16000.0
+            sig = 0.3 * np.sin(2 * np.pi * (200 + 150 * s) * t)
+            write_wav(path, (sig + 0.01 * rng.standard_normal(len(t))
+                             ).astype(np.float32), 16000)
+            lines.append(json.dumps(
+                {"key": key, "wav": str(path), "spk": f"s{s}"}))
+            u2s.append(f"{key} s{s}")
+    (tmp_path / "raw.list").write_text("\n".join(lines) + "\n")
+    (tmp_path / "utt2spk").write_text("\n".join(u2s) + "\n")
+    (tmp_path / "tiny.yaml").write_text(f"""
+exp_dir: {tmp_path}/exp
+data_type: raw
+train_data: {tmp_path}/raw.list
+utt2spk: {tmp_path}/utt2spk
+num_epochs: 1
+log_batch_interval: 1
+dataset_args:
+  batch_size: 2
+  num_frms: 100
+  fbank_args:
+    num_mel_bins: 40
+model: ECAPA_TDNN
+model_args:
+  feat_dim: 40
+  embed_dim: 32
+  channels: 32
+projection_args:
+  project_type: softmax
+""")
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    script = tmp_path / "train_worker.py"
+    script.write_text(TRAIN_WORKER)
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(i), coord, str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{i} failed:\n{out[-4000:]}"
+        assert f"proc{i} train done" in out
+    # global view: 16 utts / (2 per-chip x 4 data-axis chips) = 2 iters
+    assert "it 1/2" in outs[0]
+    assert os.path.exists(tmp_path / "exp" / "models" / "model_0.ckpt")

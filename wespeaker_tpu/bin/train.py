@@ -250,12 +250,17 @@ def train(config: str, overrides=None, **kwargs):
     save_interval = configs.get("save_epoch_interval", 1)
     num_avg = configs.get("num_avg", 1)
     num_workers = configs.get("dataloader_args", {}).get("num_workers", 0)
+    # each process loads only its rank-striped share of the global batch
+    # (the dataset already strides utterances by rank); shard_batch
+    # assembles the global array from the per-process rows
+    assert global_batch % world == 0, (global_batch, world)
+    local_batch = global_batch // world
     if num_workers > 0:
         prefetch = MPPrefetcher(
-            ds_args, ds_kwargs, global_batch, num_workers=num_workers,
+            ds_args, ds_kwargs, local_batch, num_workers=num_workers,
             depth=configs.get("dataloader_args", {}).get("prefetch", 4))
     else:
-        prefetch = Prefetcher(dataset.batches(global_batch))
+        prefetch = Prefetcher(dataset.batches(local_batch))
     def save_state(path):
         variables = {"params": state.params["model"],
                      "batch_stats": state.batch_stats,

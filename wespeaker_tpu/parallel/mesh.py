@@ -53,6 +53,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch with the batch axis sharded over 'data'."""
+    """Place a host batch with the batch axis sharded over 'data'.
+
+    Single process: a plain sharded device_put. Multi-process: each host
+    holds only its rank-striped slice of the global batch (the DDP data
+    contract, dataset.py rank striding), so the global array is assembled
+    from per-process local rows — device_put cannot address other hosts'
+    devices."""
     s = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+    def put(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(
+            s, x, global_shape=global_shape)
+
+    return jax.tree_util.tree_map(put, batch)
