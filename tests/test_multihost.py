@@ -166,3 +166,94 @@ projection_args:
     # global view: 16 utts / (2 per-chip x 4 data-axis chips) = 2 iters
     assert "it 1/2" in outs[0]
     assert os.path.exists(tmp_path / "exp" / "models" / "model_0.ckpt")
+
+
+DINO_WORKER = textwrap.dedent("""
+    import os, sys
+    for k in list(os.environ):
+        if "AXON" in k or k in ("PJRT_LIBRARY_PATH", "TPU_LIBRARY_PATH"):
+            del os.environ[k]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1]); coord = sys.argv[2]; root = sys.argv[3]
+    from wespeaker_tpu.bin.train_dino import train_dino
+    train_dino(os.path.join(root, "dino.yaml"),
+               distributed_args={"coordinator": coord, "num_processes": 2,
+                                 "process_id": pid})
+    print(f"proc{pid} dino done")
+""")
+
+
+@pytest.mark.slow
+def test_two_process_dino(tmp_path):
+    """SSL trainer across 2 processes: per-process multi-crop batches
+    assembled into global arrays, EMA teacher update under pjit, rank-0
+    checkpointing."""
+    import json
+
+    import yaml
+
+    from tests.test_recipe_e2e import _make_corpus
+
+    entries = _make_corpus(tmp_path, n_spk=2, n_utt=4, seconds=2.0)
+    with open(tmp_path / "raw.list", "w") as f:
+        for key, spk, path in entries:
+            f.write(json.dumps({"key": key, "spk": spk, "wav": path}) + "\n")
+    with open(tmp_path / "utt2spk", "w") as f:
+        for key, spk, _ in entries:
+            f.write(f"{key} {spk}\n")
+    config = {
+        "exp_dir": str(tmp_path / "exp"),
+        "data_type": "raw",
+        "train_data": str(tmp_path / "raw.list"),
+        "utt2spk": str(tmp_path / "utt2spk"),
+        "num_epochs": 1,
+        "log_batch_interval": 1,
+        "model": "ECAPA_TDNN",
+        "model_args": {"feat_dim": 40, "embed_dim": 48, "channels": 32},
+        "dino_args": {
+            "head_out_dim": 128, "head_hidden_dim": 64,
+            "bottleneck_dim": 32, "global_chunk_num": 2,
+            "local_chunk_num": 2, "global_chunk_sec": 1.0,
+            "local_chunk_sec": 0.5, "warmup_epochs": 0,
+            "freeze_last_layer_epochs": 0,
+        },
+        "dataset_args": {
+            "batch_size": 1,  # per chip; global = 4 over 2 procs x 2 devs
+            "shuffle": False,
+            "aug_prob": 0.0,
+            "fbank_args": {"num_mel_bins": 40, "dither": 0.0},
+            "filter_args": {"min_num_frames": 50, "max_num_frames": 400},
+        },
+        "seed": 3,
+    }
+    with open(tmp_path / "dino.yaml", "w") as f:
+        yaml.safe_dump(config, f)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    script = tmp_path / "dino_worker.py"
+    script.write_text(DINO_WORKER)
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(i), coord, str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{i} failed:\n{out[-4000:]}"
+        assert f"proc{i} dino done" in out
+    assert os.path.exists(tmp_path / "exp" / "models" / "model_0.ckpt")

@@ -58,6 +58,14 @@ def train_contrastive(config: str, overrides=None, **kwargs):
     os.makedirs(model_dir, exist_ok=True)
     logging.basicConfig(level=logging.INFO)
 
+    dist_args = configs.get("distributed_args", {})
+    if dist_args:
+        from wespeaker_tpu.parallel.mesh import init_distributed
+        init_distributed(dist_args.get("coordinator"),
+                         dist_args.get("num_processes"),
+                         dist_args.get("process_id"))
+    rank = jax.process_index()
+    world = jax.process_count()
     mesh = make_mesh()
     n_dev = mesh.devices.size
     feat_dim = configs["model_args"].get("feat_dim", 80)
@@ -129,6 +137,7 @@ def train_contrastive(config: str, overrides=None, **kwargs):
                              ds_args, spk2id,
                              noise_store_prefix=configs.get("noise_data"),
                              reverb_store_prefix=configs.get("reverb_data"),
+                             rank=rank, world_size=world,
                              seed=configs.get("seed", 42))
     crop_aug = make_crop_aug(dataset.reverb, dataset.noise,
                              ds_args.get("aug_prob", 0.6))
@@ -143,8 +152,10 @@ def train_contrastive(config: str, overrides=None, **kwargs):
     state = jax.device_put(state, rep)
     step_jit = jax.jit(step_fn, out_shardings=(rep, rep))
     log_interval = configs.get("log_batch_interval", 50)
+    # per-process rows; shard_batch assembles the global array
     batches = iter(Prefetcher(_two_view_batches(
-        dataset, batch, chunk_len, configs.get("seed", 42), crop_aug)))
+        dataset, batch // world, chunk_len, configs.get("seed", 42),
+        crop_aug)))
 
     it = 0
     for epoch in range(num_epochs):
@@ -166,11 +177,13 @@ def train_contrastive(config: str, overrides=None, **kwargs):
                              f"lr {float(m['lr']):.5f}")
             it += 1
         logging.info(f"epoch {epoch} done in {time.time() - t0:.1f}s")
-        params = (state.query_params if method == "moco" else state.params)
-        stats = state.batch_stats
-        ckpt.save_checkpoint(os.path.join(model_dir, f"model_{epoch}.ckpt"),
-                             jax.device_get({"params": params,
-                                             "batch_stats": stats}))
+        if rank == 0:
+            params = (state.query_params if method == "moco"
+                      else state.params)
+            stats = state.batch_stats
+            ckpt.save_checkpoint(
+                os.path.join(model_dir, f"model_{epoch}.ckpt"),
+                jax.device_get({"params": params, "batch_stats": stats}))
     return state
 
 

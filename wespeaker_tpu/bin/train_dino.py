@@ -35,6 +35,14 @@ def train_dino(config: str, overrides=None, **kwargs):
     os.makedirs(model_dir, exist_ok=True)
     logging.basicConfig(level=logging.INFO)
 
+    dist_args = configs.get("distributed_args", {})
+    if dist_args:
+        from wespeaker_tpu.parallel.mesh import init_distributed
+        init_distributed(dist_args.get("coordinator"),
+                         dist_args.get("num_processes"),
+                         dist_args.get("process_id"))
+    rank = jax.process_index()
+    world = jax.process_count()
     mesh = make_mesh()
     n_dev = mesh.devices.size
     dino_args = configs.get("dino_args", {})
@@ -95,6 +103,7 @@ def train_dino(config: str, overrides=None, **kwargs):
                              ds_args, spk2id,
                              noise_store_prefix=configs.get("noise_data"),
                              reverb_store_prefix=configs.get("reverb_data"),
+                             rank=rank, world_size=world,
                              seed=configs.get("seed", 42))
     crop_aug = make_crop_aug(dataset.reverb, dataset.noise,
                              ds_args.get("aug_prob", 0.6))
@@ -110,7 +119,8 @@ def train_dino(config: str, overrides=None, **kwargs):
             data = dataset._epoch_iter(epoch)
             data = ssl_data.multi_crop(data, g_len, l_len, n_global, n_local,
                                        aug_fn=crop_aug, rng=rng)
-            yield from ssl_data.dino_batch(data, batch)
+            # per-process rows; shard_batch assembles the global array
+            yield from ssl_data.dino_batch(data, batch // world)
             epoch += 1
 
     rep = replicated(mesh)
@@ -136,14 +146,15 @@ def train_dino(config: str, overrides=None, **kwargs):
                     f"temp {float(m['teacher_temp']):.3f}")
             it += 1
         logging.info(f"epoch {epoch} done in {time.time() - t0:.1f}s")
-        variables = jax.device_get({
-            "params": state.teacher["backbone"],
-            "batch_stats": state.teacher_stats["backbone"],
-            "student_params": state.student,
-            "student_stats": state.student_stats,
-        })
-        ckpt.save_checkpoint(os.path.join(model_dir, f"model_{epoch}.ckpt"),
-                             variables)
+        if rank == 0:
+            variables = jax.device_get({
+                "params": state.teacher["backbone"],
+                "batch_stats": state.teacher_stats["backbone"],
+                "student_params": state.student,
+                "student_stats": state.student_stats,
+            })
+            ckpt.save_checkpoint(
+                os.path.join(model_dir, f"model_{epoch}.ckpt"), variables)
     return state
 
 
