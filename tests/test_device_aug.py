@@ -124,3 +124,51 @@ def test_dataset_device_aug_fields_and_train_step(tmp_path):
                     if k != "key"}
     state, metrics = step(state, device_batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_blocked_packing_matches_per_block_single():
+    """Multi-host contract: the global batch concatenates per-process
+    front-packed blocks; device_augment(blocks=k) must equal running each
+    block independently (the bug it guards: treating the whole batch as
+    one front-packed block zeroes later hosts' reverb rows)."""
+    from wespeaker_tpu.train.device_aug import device_augment
+
+    rng = np.random.default_rng(0)
+    n, r, lb, lcap = 800, 200, 4, 2
+    blocks = []
+    for _ in range(2):
+        blocks.append(dict(
+            wav=rng.uniform(-0.5, 0.5, (lb, n)).astype(np.float32),
+            mode=np.array([1, 1, 2, 0], np.int32),
+            rir=rng.uniform(-1, 1, (lcap, r)).astype(np.float32),
+            noise=rng.uniform(-0.1, 0.1, (lb, n)).astype(np.float32),
+            snr=rng.uniform(0, 15, lb).astype(np.float32)))
+
+    want = np.concatenate([
+        np.asarray(device_augment(jnp.asarray(b["wav"]),
+                                  jnp.asarray(b["mode"]),
+                                  jnp.asarray(b["rir"]),
+                                  jnp.asarray(b["noise"]),
+                                  jnp.asarray(b["snr"])))
+        for b in blocks])
+    got = np.asarray(device_augment(
+        jnp.asarray(np.concatenate([b["wav"] for b in blocks])),
+        jnp.asarray(np.concatenate([b["mode"] for b in blocks])),
+        jnp.asarray(np.concatenate([b["rir"] for b in blocks])),
+        jnp.asarray(np.concatenate([b["noise"] for b in blocks])),
+        jnp.asarray(np.concatenate([b["snr"] for b in blocks])),
+        blocks=2))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # every reverb-mode row is non-zero (the old bug zeroed block 1's)
+    mode = np.concatenate([b["mode"] for b in blocks])
+    assert np.all(np.abs(got[mode == 1]).max(axis=1) > 1e-3)
+
+
+def test_aug_config_accepts_reference_prob_key():
+    from wespeaker_tpu.train.train_step import AugConfig
+    cfg = AugConfig.from_spec_aug_args(
+        {"prob": 0.8, "num_t_mask": 2, "max_t": 5})
+    assert cfg.spec_aug_prob == 0.8 and cfg.num_t_mask == 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown"):
+        AugConfig.from_spec_aug_args({"bogus": 1})

@@ -28,6 +28,7 @@ from wespeaker_tpu.frontend import FbankConfig
 from wespeaker_tpu.models.projections import get_projection
 from wespeaker_tpu.train.composite import build_model
 from wespeaker_tpu.parallel.mesh import (init_distributed, make_mesh,
+                                         process_data_stripe,
                                          replicated, shard_batch)
 from wespeaker_tpu.train import (AugConfig, init_train_state, make_train_step)
 from wespeaker_tpu.train.optim import lr_scale_ratio, make_optimizer
@@ -103,9 +104,10 @@ def train(config: str, overrides=None, **kwargs):
         lm_keep_3x = True
     ds_args = (configs["data_type"], configs["train_data"], dataset_args,
                spk2id)
+    stripe, num_stripes = process_data_stripe(mesh)
     ds_kwargs = dict(reverb_store_prefix=configs.get("reverb_data"),
                      noise_store_prefix=configs.get("noise_data"),
-                     rank=rank, world_size=world,
+                     rank=stripe, world_size=num_stripes,
                      seed=configs.get("seed", 42))
     dataset = SpeakerDataset(*ds_args, **ds_kwargs)
     num_class = dataset.num_classes() * (3 if lm_keep_3x else 1)
@@ -172,14 +174,16 @@ def train(config: str, overrides=None, **kwargs):
         frame_shift_ms=fbank_args.get("frame_shift", 10),
         sample_rate=dataset_args.get("resample_rate", 16000),
         dither=fbank_args.get("dither", 1.0))
-    aug = AugConfig(**dataset_args.get("spec_aug_args", {})) \
-        if dataset_args.get("spec_aug", True) else AugConfig(spec_aug=False)
+    aug = AugConfig.from_spec_aug_args(
+        dataset_args.get("spec_aug_args", {}),
+        enabled=dataset_args.get("spec_aug", True))
 
     step_fn = make_train_step(
         model, projection, tx, lr_fn, margin_fn, fbank_cfg, aug,
         compute_dtype=jnp.bfloat16 if configs.get("enable_amp") else
         jnp.float32,
-        featurize_fn=built.featurize_train)
+        featurize_fn=built.featurize_train,
+        data_blocks=num_stripes)
     state = init_train_state(model, projection, tx,
                              jax.random.PRNGKey(configs.get("seed", 42)),
                              feat_dim=feat_dim,
@@ -253,8 +257,8 @@ def train(config: str, overrides=None, **kwargs):
     # each process loads only its rank-striped share of the global batch
     # (the dataset already strides utterances by rank); shard_batch
     # assembles the global array from the per-process rows
-    assert global_batch % world == 0, (global_batch, world)
-    local_batch = global_batch // world
+    assert global_batch % num_stripes == 0, (global_batch, num_stripes)
+    local_batch = global_batch // num_stripes
     if num_workers > 0:
         prefetch = MPPrefetcher(
             ds_args, ds_kwargs, local_batch, num_workers=num_workers,

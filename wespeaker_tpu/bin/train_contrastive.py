@@ -65,8 +65,9 @@ def train_contrastive(config: str, overrides=None, **kwargs):
                          dist_args.get("num_processes"),
                          dist_args.get("process_id"))
     rank = jax.process_index()
-    world = jax.process_count()
     mesh = make_mesh()
+    from wespeaker_tpu.parallel.mesh import process_data_stripe
+    stripe, batch_factor = process_data_stripe(mesh)
     n_dev = mesh.devices.size
     feat_dim = configs["model_args"].get("feat_dim", 80)
     embed_dim = configs["model_args"]["embed_dim"]
@@ -137,7 +138,7 @@ def train_contrastive(config: str, overrides=None, **kwargs):
                              ds_args, spk2id,
                              noise_store_prefix=configs.get("noise_data"),
                              reverb_store_prefix=configs.get("reverb_data"),
-                             rank=rank, world_size=world,
+                             rank=stripe, world_size=batch_factor,
                              seed=configs.get("seed", 42))
     crop_aug = make_crop_aug(dataset.reverb, dataset.noise,
                              ds_args.get("aug_prob", 0.6))
@@ -154,7 +155,7 @@ def train_contrastive(config: str, overrides=None, **kwargs):
     log_interval = configs.get("log_batch_interval", 50)
     # per-process rows; shard_batch assembles the global array
     batches = iter(Prefetcher(_two_view_batches(
-        dataset, batch // world, chunk_len, configs.get("seed", 42),
+        dataset, batch // batch_factor, chunk_len, configs.get("seed", 42),
         crop_aug)))
 
     it = 0

@@ -42,8 +42,9 @@ def train_dino(config: str, overrides=None, **kwargs):
                          dist_args.get("num_processes"),
                          dist_args.get("process_id"))
     rank = jax.process_index()
-    world = jax.process_count()
     mesh = make_mesh()
+    from wespeaker_tpu.parallel.mesh import process_data_stripe
+    stripe, batch_factor = process_data_stripe(mesh)
     n_dev = mesh.devices.size
     dino_args = configs.get("dino_args", {})
     n_global = dino_args.get("global_chunk_num", 2)
@@ -103,7 +104,7 @@ def train_dino(config: str, overrides=None, **kwargs):
                              ds_args, spk2id,
                              noise_store_prefix=configs.get("noise_data"),
                              reverb_store_prefix=configs.get("reverb_data"),
-                             rank=rank, world_size=world,
+                             rank=stripe, world_size=batch_factor,
                              seed=configs.get("seed", 42))
     crop_aug = make_crop_aug(dataset.reverb, dataset.noise,
                              ds_args.get("aug_prob", 0.6))
@@ -120,7 +121,7 @@ def train_dino(config: str, overrides=None, **kwargs):
             data = ssl_data.multi_crop(data, g_len, l_len, n_global, n_local,
                                        aug_fn=crop_aug, rng=rng)
             # per-process rows; shard_batch assembles the global array
-            yield from ssl_data.dino_batch(data, batch // world)
+            yield from ssl_data.dino_batch(data, batch // batch_factor)
             epoch += 1
 
     rep = replicated(mesh)

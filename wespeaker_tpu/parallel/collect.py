@@ -31,7 +31,10 @@ def all_gather_embeddings(embs, mesh: Mesh, axis: str = "data"):
 def sharded_cohort_stats(emb, cohort, mesh: Mesh, top_n: int,
                          axis: str = "data"):
     """AS-Norm cohort statistics with the embedding rows sharded over the
-    mesh; the cohort is replicated. Returns replicated (mean, std)."""
+    mesh; the cohort is replicated. Returns ROW-SHARDED (mean, std) — one
+    row per embedding, sharded like the input over `axis`; gather (e.g.
+    all_gather_embeddings or np.asarray on an addressable host) before
+    indexing rows that may live on another host."""
     from wespeaker_tpu.backend.scoring import l2norm
 
     def stats(e, c):

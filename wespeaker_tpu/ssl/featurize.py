@@ -13,11 +13,8 @@ def make_ssl_featurize(fbank_cfg, dataset_args, seed: int):
     """(B, N) wav -> (B, T, F) features; spec-aug keys advance per call."""
     aug = None
     if dataset_args.get("spec_aug", False):
-        sa = dict(dataset_args.get("spec_aug_args", {}))
-        if "prob" in sa:  # reference key name
-            sa.setdefault("spec_aug_prob", sa.pop("prob"))
-        fields = set(AugConfig.__dataclass_fields__)
-        aug = AugConfig(**{k: v for k, v in sa.items() if k in fields})
+        aug = AugConfig.from_spec_aug_args(
+            dataset_args.get("spec_aug_args", {}))
 
     def feats(w):
         return apply_cmvn(compute_fbank(w * (1 << 15), fbank_cfg))

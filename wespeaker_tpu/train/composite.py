@@ -99,10 +99,23 @@ def build_model(configs: Dict[str, Any]) -> BuiltModel:
 
         fe_args = dict(dataset_args.get(
             f"{frontend_type}_args", dataset_args.get("s3prl_args", {})))
-        fe_args.pop("upstream_args", None)
+        # reference s3prl configs carry the model choice in
+        # upstream_args.name (s3prl.py:23-93) and knobs with no meaning
+        # here: download_dir (weights load via the checkpoint converter),
+        # multilayer_feature/layer (the Featurizer always learns layer
+        # weights), frame_length. frame_shift must be the stack's 20 ms.
+        upstream = dict(fe_args.pop("upstream_args", None) or {})
+        name = str(upstream.get("name", ""))
+        for k in ("download_dir", "multilayer_feature", "layer",
+                  "frame_length"):
+            fe_args.pop(k, None)
+        fs = fe_args.pop("frame_shift", None)
+        if fs not in (None, 20):
+            raise ValueError("wavlm-family frontends produce 20 ms frames; "
+                             f"s3prl frame_shift={fs} is unsupported")
         frozen = fe_args.pop("frozen", False)
-        normalize_input = fe_args.pop("normalize_input", False)
-        size = fe_args.pop("size", "base")
+        normalize_input = fe_args.pop("normalize_input", "large" in name)
+        size = fe_args.pop("size", "large" if "large" in name else "base")
         if frontend_type in ("hubert", "wav2vec2"):
             cfg = (WavLMConfig.hubert_large() if size == "large"
                    else WavLMConfig.hubert_base())
@@ -110,6 +123,11 @@ def build_model(configs: Dict[str, Any]) -> BuiltModel:
             cfg = (WavLMConfig.large() if size == "large"
                    else WavLMConfig.base())
         if fe_args:
+            known = {f.name for f in dataclasses.fields(WavLMConfig)}
+            unknown = sorted(set(fe_args) - known)
+            if unknown:
+                raise ValueError(f"unknown {frontend_type}_args keys "
+                                 f"{unknown}")
             cfg = dataclasses.replace(cfg, **fe_args)
         frontend = WavLMWithFeaturizer(cfg, frozen=frozen,
                                        normalize_input=normalize_input)

@@ -17,14 +17,20 @@ convolutions), noise mixing exactly; RIRs are truncated to a static length
 import jax.numpy as jnp
 
 
-def device_augment(wav, mode, rir, noise, snr):
+def device_augment(wav, mode, rir, noise, snr, blocks: int = 1):
     """Apply the augmentation selected per sample on the host.
 
     wav: (B, N) float32 in [-1, 1]; mode: (B,) int32 (0=none, 1=reverb,
     2=noise); rir: (cap, R) with cap <= B — the host packs reverb samples
-    into the first `cap` rows (pipeline.py batch_samples), so only that
-    slice pays the FFT; noise: (B, N). rir/noise may be float32 in [-1, 1]
-    or store-native int16. snr: (B,) dB. Returns (B, N).
+    into the first cap/blocks rows OF EACH PROCESS-LOCAL BLOCK
+    (pipeline.py batch_samples), so only that slice pays the FFT;
+    noise: (B, N). rir/noise may be float32 in [-1, 1] or store-native
+    int16. snr: (B,) dB. Returns (B, N).
+
+    blocks: number of process-local blocks concatenated into this global
+    batch (jax.process_count() in the trainer). shard_batch stacks one
+    front-packed block per host, so the reverb rows sit at the head of
+    each block, not of the whole batch.
     """
     if jnp.issubdtype(rir.dtype, jnp.integer):
         rir = rir.astype(jnp.float32) / 32768.0
@@ -32,6 +38,8 @@ def device_augment(wav, mode, rir, noise, snr):
         noise = noise.astype(jnp.float32) / 32768.0
     b, n = wav.shape
     cap, r = rir.shape
+    assert b % blocks == 0 and cap % blocks == 0, (b, cap, blocks)
+    lb, lcap = b // blocks, cap // blocks
     fft_len = 1
     while fft_len < n + r - 1:
         fft_len *= 2
@@ -41,11 +49,14 @@ def device_augment(wav, mode, rir, noise, snr):
     # is the cost here (~5.8 ms per 256x65536 rfft), hence the capacity cut
     rir_n = rir / jnp.sqrt(
         jnp.sum(rir ** 2, axis=-1, keepdims=True) + 1e-12)
-    spec = jnp.fft.rfft(wav[:cap], fft_len) * jnp.fft.rfft(rir_n, fft_len)
+    head = wav.reshape(blocks, lb, n)[:, :lcap].reshape(cap, n)
+    spec = jnp.fft.rfft(head, fft_len) * jnp.fft.rfft(rir_n, fft_len)
     reverbed = jnp.fft.irfft(spec, fft_len)[..., :n].astype(wav.dtype)
     if cap < b:
-        reverbed = jnp.concatenate(
-            [reverbed, jnp.zeros((b - cap, n), wav.dtype)])
+        reverbed = jnp.concatenate([
+            reverbed.reshape(blocks, lcap, n),
+            jnp.zeros((blocks, lb - lcap, n), wav.dtype)],
+            axis=1).reshape(b, n)
 
     # additive noise at the host-drawn SNR (processor.py:454-476)
     audio_db = 10.0 * jnp.log10(jnp.mean(wav ** 2, axis=-1) + 1e-4)

@@ -38,6 +38,21 @@ class AugConfig:
     max_t: int = 10
     max_f: int = 8
 
+    @classmethod
+    def from_spec_aug_args(cls, args, enabled: bool = True) -> "AugConfig":
+        """Build from a config dict, accepting the reference YAML key
+        `prob` (processor.py:550 spec_aug) for spec_aug_prob. Unknown keys
+        raise rather than silently falling back to defaults."""
+        args = dict(args or {})
+        if "prob" in args:
+            args["spec_aug_prob"] = args.pop("prob")
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = sorted(set(args) - known)
+        if unknown:
+            raise ValueError(f"unknown spec_aug_args keys {unknown}; "
+                             f"supported: {sorted(known)}")
+        return cls(spec_aug=enabled, **args)
+
 
 class TrainState(flax.struct.PyTreeNode):
     step: jnp.ndarray
@@ -66,7 +81,7 @@ def spec_aug_batch(key, feat, cfg: AugConfig):
     per-utterance reference semantics: start ~ U[0, dim-1], width ~ U[1, max],
     applied with probability spec_aug_prob per utterance."""
     b, t, f = feat.shape
-    keys = jax.random.split(key, 5)
+    keys = jax.random.split(key, 3)
     apply = (jax.random.uniform(keys[0], (b, 1, 1)) < cfg.spec_aug_prob)
 
     def mask_axis(subkey, dim, max_w, count):
@@ -84,8 +99,10 @@ def spec_aug_batch(key, feat, cfg: AugConfig):
 
 
 def features_from_batch(batch, fbank_cfg: FbankConfig, aug: Optional[AugConfig],
-                        key, train: bool):
-    """batch: {'wav': (B, N)} or {'feat': (B, T, F)} -> normalized features."""
+                        key, train: bool, data_blocks: int = 1):
+    """batch: {'wav': (B, N)} or {'feat': (B, T, F)} -> normalized features.
+    data_blocks = process count whose front-packed local batches were
+    concatenated into this global batch (device-aug packing contract)."""
     if "feat" in batch:
         feat = batch["feat"]
     else:
@@ -94,7 +111,8 @@ def features_from_batch(batch, fbank_cfg: FbankConfig, aug: Optional[AugConfig],
             # device-side reverb/noise aug (host only picked the samples)
             from wespeaker_tpu.train.device_aug import device_augment
             wav = device_augment(wav, batch["aug_mode"], batch["aug_rir"],
-                                 batch["aug_noise"], batch["aug_snr"])
+                                 batch["aug_noise"], batch["aug_snr"],
+                                 blocks=data_blocks)
         wav = wav * (1 << 15)
         if train and fbank_cfg.dither != 0.0:
             # waveform-level dither so the fused-conv fbank fast path stays
@@ -119,10 +137,13 @@ def make_train_step(model, projection, tx: optax.GradientTransformation,
                     fbank_cfg: FbankConfig = FbankConfig(dither=1.0),
                     aug: AugConfig = AugConfig(),
                     compute_dtype=jnp.float32,
-                    featurize_fn: Optional[Callable] = None):
+                    featurize_fn: Optional[Callable] = None,
+                    data_blocks: int = 1):
     """Build the pure train-step function. `tx` must be built with
     optax.inject_hyperparams so `lr_fn(step)` can be written into
     opt_state.hyperparams['learning_rate'] inside the trace.
+    data_blocks: jax.process_count() — the device-aug fields are
+    front-packed per process-local block (see device_augment).
 
     featurize_fn(batch, key) overrides the default wav->fbank->cmvn->spec-aug
     chain — the hook for neural/DSP frontends whose model input is not kaldi
@@ -131,7 +152,7 @@ def make_train_step(model, projection, tx: optax.GradientTransformation,
     def loss_fn(params, batch_stats, proj_stats, batch, margin, key):
         if featurize_fn is None:
             feat = features_from_batch(batch, fbank_cfg, aug, key,
-                                       train=True)
+                                       train=True, data_blocks=data_blocks)
         else:
             feat = featurize_fn(batch, key)
         feat = feat.astype(compute_dtype)
@@ -215,12 +236,11 @@ def make_eval_embed_fn(model, fbank_cfg: FbankConfig = FbankConfig(),
             feat = compute_fbank(wav, fbank_cfg, key=None)
             mask = batch.get("mask")
             if mask is not None:
-                # sample mask (B, N) -> frame mask (B, T)
-                t = feat.shape[-2]
-                idx = jnp.arange(t) * fbank_cfg.window_shift
-                fmask = (idx[None, :] + fbank_cfg.window_size
-                         <= jnp.sum(mask, axis=-1, keepdims=True) + 1e-3)
-                fmask = fmask.astype(feat.dtype)
+                from wespeaker_tpu.train.composite import (
+                    _sample_to_frame_mask)
+                fmask = _sample_to_frame_mask(
+                    mask, feat.shape[-2], fbank_cfg.window_shift,
+                    fbank_cfg.window_size).astype(feat.dtype)
             else:
                 fmask = None
         else:
