@@ -257,3 +257,39 @@ def test_two_process_dino(tmp_path):
         assert p.returncode == 0, f"proc{i} failed:\n{out[-4000:]}"
         assert f"proc{i} dino done" in out
     assert os.path.exists(tmp_path / "exp" / "models" / "model_0.ckpt")
+
+
+def test_process_data_stripe_layouts(monkeypatch):
+    """Which batch stripe each process loads, for DP-only and for a model
+    axis that spans hosts (several processes covering the same data rows
+    must load the SAME stripe)."""
+    from types import SimpleNamespace
+
+    import numpy as np
+
+    from wespeaker_tpu.parallel import mesh as mesh_mod
+
+    def fake_mesh(pidx_grid):
+        devs = np.vectorize(lambda p: SimpleNamespace(process_index=p))(
+            np.asarray(pidx_grid))
+        return SimpleNamespace(devices=devs,
+                               shape={"data": devs.shape[0]})
+
+    def expect(grid, n_proc, want):
+        monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: n_proc)
+        for pid, (stripe, num) in enumerate(want):
+            monkeypatch.setattr(mesh_mod.jax, "process_index", lambda
+                                p=pid: p)
+            got = mesh_mod.process_data_stripe(fake_mesh(grid))
+            assert got == (stripe, num), (grid, pid, got)
+
+    # pure DP: 4 hosts x 2 chips, data axis only
+    expect([[0], [0], [1], [1], [2], [2], [3], [3]], 4,
+           [(0, 4), (1, 4), (2, 4), (3, 4)])
+    # model axis within each host: host k owns both model coords of row k
+    expect([[0, 0], [1, 1], [2, 2], [3, 3]], 4,
+           [(0, 4), (1, 4), (2, 4), (3, 4)])
+    # model axis spanning hosts: hosts 0/1 share data rows 0-1 (model
+    # columns), hosts 2/3 share rows 2-3 -> two stripes, shared
+    expect([[0, 1], [0, 1], [2, 3], [2, 3]], 4,
+           [(0, 2), (0, 2), (1, 2), (1, 2)])
