@@ -96,6 +96,10 @@ def test_resnet50_bottleneck():
     _parity("ResNet50", embed_dim=256)
 
 
+def test_resnet18():
+    _parity("ResNet18", embed_dim=256)
+
+
 def test_resnet34_astp():
     _parity("ResNet34", embed_dim=256, pooling_func="ASTP")
 
@@ -118,12 +122,21 @@ def test_eres2net_aug():
     _parity("ERes2Net34_aug", embed_dim=192, two_emb_layer=True)
 
 
+def test_eres2net_large():
+    # Large doubles the expansion over Base (eres2net.py:394-427)
+    _parity("ERes2Net34_Large", embed_dim=192, T=150)
+
+
 def test_res2net():
     _parity("Res2Net34_Base", embed_dim=192)
 
 
 def test_gemini_dfresnet():
     _parity("Gemini_DF_ResNet60", embed_dim=128)
+
+
+def test_gemini_dfresnet114():
+    _parity("Gemini_DF_ResNet114", embed_dim=128, T=150)
 
 
 def test_samresnet():
