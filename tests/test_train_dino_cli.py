@@ -58,6 +58,22 @@ def test_train_dino_runs(tmp_path):
     import os
     assert os.path.exists(tmp_path / "exp" / "models" / "model_0.ckpt")
 
+    # recipe stage 3 (examples/voxceleb/v3/dino/run.sh): average the teacher
+    # checkpoints and extract with the trainer-dumped $exp/config.yaml
+    assert os.path.exists(tmp_path / "exp" / "config.yaml")
+    from wespeaker_tpu.bin.average_model import average_model
+    from wespeaker_tpu.bin.extract import extract
+    avg = tmp_path / "exp" / "models" / "avg_model.ckpt"
+    average_model(str(tmp_path / "exp" / "models"), str(avg), num=1)
+    out_prefix = str(tmp_path / "exp" / "embeddings" / "train")
+    extract(str(tmp_path / "exp" / "config.yaml"), str(avg),
+            str(raw_list), out_prefix, batch_size=4)
+    from wespeaker_tpu.utils.kaldi_io import read_vec_scp_dict
+    embs = read_vec_scp_dict(out_prefix + ".scp")
+    assert len(embs) == len(entries)
+    for v in embs.values():
+        assert v.shape == (48,) and np.isfinite(v).all()
+
 
 @pytest.mark.slow
 @pytest.mark.parametrize("method", ["moco", "simclr"])

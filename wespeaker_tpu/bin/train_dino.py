@@ -42,6 +42,11 @@ def train_dino(config: str, overrides=None, **kwargs):
                          dist_args.get("num_processes"),
                          dist_args.get("process_id"))
     rank = jax.process_index()
+    if rank == 0:
+        # later stages (extract with $exp/config.yaml) read it back —
+        # reference ssl/bin/train_dino.py:205-210
+        from wespeaker_tpu.utils.config import dump_yaml
+        dump_yaml(configs, os.path.join(exp_dir, "config.yaml"))
     mesh = make_mesh()
     from wespeaker_tpu.parallel.mesh import process_data_stripe
     stripe, batch_factor = process_data_stripe(mesh)

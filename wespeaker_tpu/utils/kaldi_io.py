@@ -26,9 +26,12 @@ def _read_int32(f):
 
 def write_vec_ark_scp(path_prefix: str,
                       items: Iterator[Tuple[str, np.ndarray]]):
-    """Write float32 vectors to `<prefix>.ark` + `<prefix>.scp`."""
+    """Write float32 vectors to `<prefix>.ark` + `<prefix>.scp`. Creates the
+    parent directory (the reference's validate_path does, utils.py:72-77)."""
     ark_path = path_prefix + ".ark"
     scp_path = path_prefix + ".scp"
+    parent = os.path.dirname(os.path.abspath(ark_path))
+    os.makedirs(parent, exist_ok=True)
     abs_ark = os.path.abspath(ark_path)
     with open(ark_path, "wb") as ark, open(scp_path, "w") as scp:
         for key, vec in items:
