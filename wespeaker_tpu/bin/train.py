@@ -284,14 +284,37 @@ def train(config: str, overrides=None, **kwargs):
     if threading.current_thread() is threading.main_thread():
         signal.signal(signal.SIGTERM, lambda s, f: preempted.set())
 
+    # profile_args: {start_step, num_steps, log_dir} captures a
+    # jax.profiler timeline of global steps [start, start+num) to
+    # exp_dir/profile (view in XProf/TensorBoard) — the SURVEY §5
+    # observability deliverable; the reference has no profiling hooks.
+    prof = configs.get("profile_args") or {}
+    prof_start = prof.get("start_step")
+    prof_stop = (prof_start + prof.get("num_steps", 5)
+                 if prof_start is not None else None)
+    prof_dir = prof.get("log_dir", os.path.join(exp_dir, "profile"))
+    prof_active = False
+    gstep = 0
+
     batches = iter(prefetch)
     for epoch in range(start_epoch, num_epochs):
         t0 = time.time()
         for it in range(epoch_iter):
+            if rank == 0 and gstep == prof_start and not prof_active:
+                jax.block_until_ready(state.params)
+                jax.profiler.start_trace(prof_dir)
+                prof_active = True
             batch = next(batches)
             device_batch = shard_batch(
                 mesh, {k: v for k, v in batch.items() if k != "key"})
             state, metrics = step_jit(state, device_batch)
+            gstep += 1
+            if prof_active and gstep >= prof_stop:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                prof_active = False
+                logger.info(f"profiler trace of steps [{prof_start}, "
+                            f"{prof_stop}) written to {prof_dir}")
             if it % log_interval == 0:
                 m = jax.device_get(metrics)
                 logger.info(
@@ -300,6 +323,9 @@ def train(config: str, overrides=None, **kwargs):
                     f"lr {float(m['lr']):.6f} margin "
                     f"{float(m['margin']):.3f}")
             if preempted.is_set():
+                if prof_active:
+                    jax.profiler.stop_trace()
+                    prof_active = False
                 jax.block_until_ready(state.params)
                 path = os.path.join(model_dir, f"preempt_model_{epoch}.ckpt")
                 if rank == 0:
@@ -316,6 +342,8 @@ def train(config: str, overrides=None, **kwargs):
         if rank == 0 and ((epoch + 1) % save_interval == 0
                           or epoch + 1 > num_epochs - num_avg):
             save_state(os.path.join(model_dir, f"model_{epoch}.ckpt"))
+    if prof_active:  # profile window extended past the last step
+        jax.profiler.stop_trace()
     last = os.path.join(model_dir, f"model_{num_epochs - 1}.ckpt")
     if rank == 0 and num_epochs > start_epoch and os.path.exists(last):
         # reference symlinks final_model.pt to the last epoch (train.py:259)
