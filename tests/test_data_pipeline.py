@@ -202,6 +202,26 @@ def test_parse_raw_pipe_command(corpus, tmp_path):
     assert piped["sample_rate"] == direct["sample_rate"]
 
 
+def test_parse_raw_vad_crop(corpus):
+    """'vad': [[s,e],...] crops to the concatenated voiced parts in seconds
+    (reference parse_raw apply_vad, processor.py:138-145)."""
+    import wespeaker_tpu.data.pipeline as P
+
+    path = json.loads(open(corpus["raw_list"]).readline())["wav"]
+    lines = [
+        json.dumps({"key": "crop", "spk": "spk0", "wav": path,
+                    "vad": [[0.1, 0.3], [0.5, 0.6]]}),
+        json.dumps({"key": "full", "spk": "spk0", "wav": path}),
+    ]
+    crop, full = list(P.parse_raw(lines))
+    sr = full["sample_rate"]
+    want = np.concatenate([
+        full["wav"][int(0.1 * sr):int(0.3 * sr)],
+        full["wav"][int(0.5 * sr):int(0.6 * sr)],
+    ])
+    np.testing.assert_array_equal(crop["wav"], want)
+
+
 def test_eval_batches_windowed_sort():
     """eval_batches sorts within bounded windows (streaming memory) and
     every utterance appears exactly once with its exact samples masked in."""
