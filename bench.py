@@ -27,7 +27,7 @@ BASELINE_AUDIO_S_PER_S = 117.0  # 1 / 0.00857 (ResNet34 RTF on 3090)
 def main():
     from wespeaker_tpu.utils.jax_cache import enable_persistent_cache
     enable_persistent_cache()
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
     from wespeaker_tpu.frontend import FbankConfig
