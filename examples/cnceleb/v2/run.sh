@@ -16,6 +16,27 @@ config=${config:-conf/resnet.yaml}
 lm_config=${lm_config:-conf/resnet_lm.yaml}
 trials="CNC-Eval-Concat.lst CNC-Eval-Avg.lst"
 
+if [ $stage -le 0 ] && [ $stop_stage -ge 0 ]; then
+  echo "=== stage 0: short-utterance combination + trial formatting ==="
+  # reference local/comb_cn1_cn2.sh + combine_utt.sh: group CN-Celeb1-dev +
+  # CN-Celeb2 utterances under 5 s into >=5 s concatenations, then write
+  # the combined audio next to the originals.
+  python -m wespeaker_tpu.bin.prep_data wav2dur \
+    --wav_scp $data/cnceleb_train/wav.scp --out $data/cnceleb_train/utt2dur
+  python -m wespeaker_tpu.bin.data_dir spk2utt \
+    $data/cnceleb_train/utt2spk > $data/cnceleb_train/spk2utt
+  python -m wespeaker_tpu.bin.prep_local combine --min-duration 5 \
+    $data/cnceleb_train/spk2utt $data/cnceleb_train/utt2dur \
+    $data/cnceleb_train/utt2utts $data/cnceleb_train/utt2spk.comb \
+    $data/cnceleb_train/utt2dur.comb
+  python -m wespeaker_tpu.bin.prep_local combine-audio \
+    $data/cnceleb_train/utt2utts $data/raw_audio $data/comb_audio
+  # reference local/format_trials_cnceleb.py: raw eval lists -> kaldi trials
+  python -m wespeaker_tpu.bin.prep_local cnceleb-trials \
+    --cnceleb_root $data/CN-Celeb \
+    --dst_trl_path $data/eval/trials/CNC-Eval-Avg.lst
+fi
+
 if [ $stage -le 1 ] && [ $stop_stage -ge 1 ]; then
   echo "=== stage 1: data lists (shards for train, raw for eval) ==="
   python -m wespeaker_tpu.bin.prep_data shard \
