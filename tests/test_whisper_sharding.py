@@ -15,6 +15,14 @@ from wespeaker_tpu.frontend.whisper_encoder import AudioEncoder
 from wespeaker_tpu.parallel.mesh import make_mesh
 
 
+def any_leaf_sharded(tree):
+    """True if any leaf's per-device shard is smaller than the full array."""
+    return jax.tree_util.tree_reduce(
+        lambda acc, leaf: acc or (hasattr(leaf, "addressable_shards")
+                                  and leaf.addressable_shards[0].data.shape
+                                  != leaf.shape), tree, False)
+
+
 def test_whisper_encoder_model_axis_sharding():
     mesh = make_mesh(model=4)  # (2 data, 4 model)
     enc = AudioEncoder(n_mels=16, n_ctx=64, n_state=64, n_head=4, n_layer=2,
@@ -100,11 +108,7 @@ def test_w2vbert_encoder_model_axis_sharding():
     unboxed = nn.meta.unbox(variables)
     placed = jax.tree_util.tree_map(jax.device_put, unboxed, shardings)
 
-    found = jax.tree_util.tree_reduce(
-        lambda acc, leaf: acc or (hasattr(leaf, "addressable_shards")
-                                  and leaf.addressable_shards[0].data.shape
-                                  != leaf.shape), placed, False)
-    assert found, "no kernel actually sharded"
+    assert any_leaf_sharded(placed), "no kernel actually sharded"
 
     out = enc.apply(unboxed, x)
     want = np.asarray(out[-1] if isinstance(out, (tuple, list)) else out)
@@ -161,8 +165,10 @@ def test_train_step_with_model_sharded_wavlm_frontend():
     ref_norm = float(optax.global_norm(ref_state.params))
 
     mesh = make_mesh(model=4)  # (2 data, 4 model)
-    boxed = built.model.init(jax.random.PRNGKey(0), built.init_example,
-                             train=False)
+    # abstract init: we only need the boxed partition metadata, not weights
+    boxed = jax.eval_shape(
+        lambda: built.model.init(jax.random.PRNGKey(0), built.init_example,
+                                 train=False))
     logical_rules = (("embed", None), ("heads", "model"), ("mlp", "model"))
     with mesh:
         mshard = nn.logical_to_mesh_sharding(
@@ -186,11 +192,7 @@ def test_train_step_with_model_sharded_wavlm_frontend():
     new_state, metrics = jax.jit(step_fn)(sh_state, sh_batch)
 
     # a frontend kernel is genuinely sharded, and stays so through the update
-    def is_split(acc, leaf):
-        return acc or (hasattr(leaf, "addressable_shards")
-                       and leaf.addressable_shards[0].data.shape != leaf.shape)
-    assert jax.tree_util.tree_reduce(is_split,
-                                     new_state.params["model"], False)
+    assert any_leaf_sharded(new_state.params["model"])
 
     # sharded collectives change reduction order — agreement is to f32
     # rounding, not bitwise (same bound as the DP-equivalence harness)
@@ -198,3 +200,20 @@ def test_train_step_with_model_sharded_wavlm_frontend():
                       rtol=1e-3), (float(metrics["loss"]), ref_loss)
     assert np.isclose(float(optax.global_norm(new_state.params)), ref_norm,
                       rtol=1e-3)
+    # per-leaf agreement of updated params: a missing collective on any one
+    # kernel would be masked by a tree-global norm but not by this. The
+    # bound is relative to each leaf's own update magnitude: sharded
+    # reduction-order noise measures ~0.1% of the update here (gradients at
+    # random init are huge, so absolute tolerances are meaningless), while
+    # a dropped/duplicated psum scales a whole leaf's gradient by the axis
+    # size — 50-100% of the update. This check caught a real XLA bug:
+    # grouped-conv kernel grads inflated by the model-axis size (see
+    # ops/grouped_conv.py).
+    def leaf_check(path, new_s, new_r, old):
+        upd = np.abs(np.asarray(new_r) - np.asarray(old)).max()
+        err = np.abs(np.asarray(new_s) - np.asarray(new_r)).max()
+        assert err <= max(1e-4, 0.02 * upd), (
+            jax.tree_util.keystr(path), err, upd)
+
+    jax.tree_util.tree_map_with_path(leaf_check, new_state.params,
+                                     ref_state.params, state.params)

@@ -153,10 +153,12 @@ class W2VBertConvModule(nn.Module):
         a, g = jnp.split(h, 2, axis=-1)
         h = a * nn.sigmoid(g)  # GLU over channel dim
         # causal depthwise conv: pad (k-1) on the left
+        from wespeaker_tpu.models.layers import GroupedConv
         k = c.conv_depthwise_kernel_size
-        h = nn.Conv(c.hidden_size, (k,), padding=[(k - 1, 0)],
-                    feature_group_count=c.hidden_size, use_bias=False,
-                    name="depthwise_conv")(h)
+        h = GroupedConv(c.hidden_size, (k,), strides=(1,),
+                        padding=((k - 1, 0),), kernel_dilation=(1,),
+                        feature_group_count=c.hidden_size, use_bias=False,
+                        name="depthwise_conv")(h)
         h = nn.LayerNorm(epsilon=eps, name="depthwise_layer_norm")(h)
         h = nn.silu(h)
         return nn.Conv(c.hidden_size, (1,), use_bias=False,

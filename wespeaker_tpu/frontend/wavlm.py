@@ -287,10 +287,12 @@ class WavLMFrontend(nn.Module):
         # weight-normed grouped positional conv (folded kernel), even-kernel
         # trailing output removed (WavLMSamePadLayer)
         pad = c.num_conv_pos_embeddings // 2
-        pos = nn.Conv(c.hidden_size, (c.num_conv_pos_embeddings,),
-                      padding=[(pad, pad)],
-                      feature_group_count=c.num_conv_pos_embedding_groups,
-                      name="pos_conv_embed_conv")(h)
+        from wespeaker_tpu.models.layers import GroupedConv
+        pos = GroupedConv(c.hidden_size, (c.num_conv_pos_embeddings,),
+                          strides=(1,), padding=((pad, pad),),
+                          kernel_dilation=(1,),
+                          feature_group_count=c.num_conv_pos_embedding_groups,
+                          name="pos_conv_embed_conv")(h)
         if c.num_conv_pos_embeddings % 2 == 0:
             pos = pos[:, :-1]
         h = h + nn.gelu(pos, approximate=False)

@@ -15,26 +15,65 @@ a jit-ed global batch the batch statistics are computed over the full
 per-replica BN.
 """
 
-from typing import Any
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+
+from wespeaker_tpu.ops.grouped_conv import grouped_conv
+
+
+class GroupedConv(nn.Module):
+    """nn.Conv drop-in for feature_group_count > 1 (same param names,
+    shapes, and default inits), routed through ops/grouped_conv.py so the
+    kernel gradient partitions correctly under GSPMD (XLA mis-scales the
+    grouped-conv kernel cotangent when the batch is replicated over a mesh
+    axis — see that module's docstring for the repro)."""
+    features: int
+    kernel_size: Tuple[int, ...]
+    strides: Tuple[int, ...]
+    padding: Tuple[Tuple[int, int], ...]
+    kernel_dilation: Tuple[int, ...]
+    feature_group_count: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kshape = tuple(self.kernel_size) + (
+            in_features // self.feature_group_count, self.features)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), kshape)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        dtype = jnp.result_type(x.dtype, kernel.dtype)
+        y = grouped_conv(x.astype(dtype), kernel.astype(dtype),
+                         tuple(self.strides), tuple(self.padding),
+                         tuple(self.kernel_dilation),
+                         self.feature_group_count)
+        if bias is not None:
+            y = y + bias.astype(dtype)
+        return y
+
+
+def _conv(features, kernel_size, strides, padding, dilation, groups, bias,
+          name):
+    if groups > 1:
+        return GroupedConv(
+            features=features, kernel_size=kernel_size, strides=strides,
+            padding=padding, kernel_dilation=dilation,
+            feature_group_count=groups, use_bias=bias, name=name)
+    return nn.Conv(
+        features=features, kernel_size=kernel_size, strides=strides,
+        padding=list(padding), kernel_dilation=dilation,
+        feature_group_count=groups, use_bias=bias, name=name)
 
 
 def conv1d(features, kernel_size, *, stride=1, padding=0, dilation=1,
            bias=True, groups=1, name=None):
     """torch nn.Conv1d equivalent on (B, T, C) input (explicit symmetric
     integer padding, matching torch's default padding semantics)."""
-    return nn.Conv(
-        features=features,
-        kernel_size=(kernel_size,),
-        strides=(stride,),
-        padding=[(padding, padding)],
-        kernel_dilation=(dilation,),
-        feature_group_count=groups,
-        use_bias=bias,
-        name=name,
-    )
+    return _conv(features, (kernel_size,), (stride,),
+                 ((padding, padding),), (dilation,), groups, bias, name)
 
 
 def conv2d(features, kernel_size, *, stride=1, padding=0, bias=True,
@@ -48,16 +87,9 @@ def conv2d(features, kernel_size, *, stride=1, padding=0, bias=True,
         padding = (padding, padding)
     if isinstance(dilation, int):
         dilation = (dilation, dilation)
-    return nn.Conv(
-        features=features,
-        kernel_size=kernel_size,
-        strides=stride,
-        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
-        kernel_dilation=dilation,
-        feature_group_count=groups,
-        use_bias=bias,
-        name=name,
-    )
+    return _conv(features, tuple(kernel_size), tuple(stride),
+                 ((padding[0], padding[0]), (padding[1], padding[1])),
+                 tuple(dilation), groups, bias, name)
 
 
 def masked_mean(x, mask, axis, keepdims=False, eps=0.0):

@@ -1,0 +1,118 @@
+"""GSPMD-safe grouped convolution.
+
+XLA's SPMD partitioner mis-partitions the *kernel gradient* of a grouped
+convolution (feature_group_count > 1, including depthwise) whenever the
+batch is replicated over part of the mesh — the canonical tensor-parallel
+layout, where the batch is sharded over 'data' and replicated over 'model'.
+The kernel cotangent comes back multiplied by the replication factor (the
+partial per-replica products are summed where one replica's value should be
+taken). Ungrouped convolutions and the *input* gradient are unaffected.
+Repro (jax 0.9.0, 8-device CPU mesh): grad of a feature_group_count=16 conv
+w.r.t. its replicated kernel, input sharded P('data') on a ('data','model')
+mesh, is exactly 4x the single-device gradient for model=4.
+
+This silently corrupts training of any model with grouped convs on a mesh
+with a model axis — e.g. the WavLM frontend (grouped positional conv) with
+the tensor-parallel margin head or model-sharded SSL layouts.
+
+Fix: `grouped_conv` keeps the native lax op for the forward pass and the
+input gradient (both correct, and the forward stays a single fused op on
+TPU), but computes the kernel gradient itself as one batched matmul per
+kernel tap:
+
+    dk[w, i, o] = sum_{b, p} xpad[b, p*s + w*d, g(o)*Cg + i] * dy[b, p, o]
+
+i.e. for each spatial tap w, slice the padded input at stride s, fold the
+group axis out of the channel dim, and contract batch+positions:
+einsum('b...gi,b...go->gio'). Same FLOPs as the native backward (MXU
+matmuls batched over groups), no grouped-conv gradient op for GSPMD to
+mis-partition.
+
+Used by models/layers.py::conv1d/conv2d (groups > 1) and the WavLM /
+w2v-bert frontends' positional/depthwise convs.
+"""
+
+import functools
+import itertools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _dimension_numbers(spatial_rank):
+    """Channels-last conv dimension numbers (NWC / NHWC)."""
+    if spatial_rank == 1:
+        return ("NWC", "WIO", "NWC")
+    if spatial_rank == 2:
+        return ("NHWC", "HWIO", "NHWC")
+    raise ValueError(f"unsupported spatial rank {spatial_rank}")
+
+
+def _native(x, kernel, strides, padding, dilation, groups):
+    return lax.conv_general_dilated(
+        x, kernel, window_strides=strides, padding=padding,
+        rhs_dilation=dilation,
+        dimension_numbers=_dimension_numbers(x.ndim - 2),
+        feature_group_count=groups)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def grouped_conv(x, kernel, strides, padding, dilation, groups):
+    """Grouped conv on channels-last input.
+
+    x: (B, *spatial, C_in); kernel: (*kernel_spatial, C_in // groups, C_out);
+    strides/dilation: tuples per spatial dim; padding: tuple of (lo, hi).
+    """
+    return _native(x, kernel, strides, padding, dilation, groups)
+
+
+def _fwd(x, kernel, strides, padding, dilation, groups):
+    out = _native(x, kernel, strides, padding, dilation, groups)
+    return out, (x, kernel)
+
+
+def _bwd(strides, padding, dilation, groups, res, dy):
+    x, kernel = res
+
+    # input gradient: the native transposed grouped conv partitions fine
+    _, x_vjp = jax.vjp(
+        lambda x_: _native(x_, kernel, strides, padding, dilation, groups), x)
+    dx = x_vjp(dy)[0]
+
+    # kernel gradient: one einsum per kernel tap (see module docstring)
+    spatial = kernel.shape[:-2]
+    cin_g, cout = kernel.shape[-2], kernel.shape[-1]
+    cout_g = cout // groups
+    b = x.shape[0]
+    out_spatial = dy.shape[1:-1]
+    xpad = jnp.pad(x, ((0, 0),) + tuple(padding) + ((0, 0),))
+    npos = b
+    for d in out_spatial:
+        npos *= d
+    dy_g = dy.reshape(npos, groups, cout_g)
+
+    taps = []
+    for w in itertools.product(*(range(k) for k in spatial)):
+        limits = tuple(w[i] * dilation[i] + (out_spatial[i] - 1) * strides[i]
+                       + 1 for i in range(len(spatial)))
+        xs = lax.slice(
+            xpad,
+            (0,) + tuple(w[i] * dilation[i] for i in range(len(spatial)))
+            + (0,),
+            (b,) + limits + (x.shape[-1],),
+            (1,) + tuple(strides) + (1,))
+        xs = xs.reshape(npos, groups, cin_g)
+        # contract batch + all output positions; keep (group, in, out)
+        tap = jnp.einsum("ngi,ngo->gio", xs, dy_g,
+                         preferred_element_type=jnp.float32)
+        taps.append(tap)
+    dk = jnp.stack(taps).reshape(spatial + (groups, cin_g, cout_g))
+    # (..., g, i, og) -> (..., i, g, og) -> (..., i, cout): out channels are
+    # group-major in the native kernel layout
+    nsp = len(spatial)
+    dk = jnp.moveaxis(dk, nsp, nsp + 1).reshape(spatial + (cin_g, cout))
+    return dx, dk.astype(kernel.dtype)
+
+
+grouped_conv.defvjp(_fwd, _bwd)
