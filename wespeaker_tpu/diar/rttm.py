@@ -87,49 +87,89 @@ def oracle_sad(rttm_path, min_duration=0.255) -> Dict[str, List[Tuple[float, flo
     return out
 
 
+def _scored_intervals(ref_segs, hyp_segs, collar):
+    """Elementary scored intervals for one recording: the timeline cut at
+    every ref/hyp boundary and collar-zone edge, with md-eval's no-score
+    zones (ref boundary +- collar) removed. Yields (duration, active ref
+    speaker ids, active hyp speaker ids)."""
+    cuts = set()
+    noscore = []
+    for b, e, _ in ref_segs:
+        cuts.update((b, e))
+        for t in (b, e):
+            noscore.append((t - collar, t + collar))
+            cuts.update((t - collar, t + collar))
+    for b, e, _ in hyp_segs:
+        cuts.update((b, e))
+    times = sorted(cuts)
+    noscore.sort()
+    for t0, t1 in zip(times[:-1], times[1:]):
+        if t1 - t0 <= 0:
+            continue
+        mid = (t0 + t1) / 2.0
+        if any(lo < mid < hi for lo, hi in noscore):
+            continue
+        rs = frozenset(i for i, (b, e, _) in enumerate(ref_segs)
+                       if b < mid < e)
+        hs = frozenset(i for i, (b, e, _) in enumerate(hyp_segs)
+                       if b < mid < e)
+        yield t1 - t0, rs, hs
+
+
 def compute_der(ref: Dict[str, List[Tuple[float, float, str]]],
                 hyp: Dict[str, List[Tuple[float, float, str]]],
-                collar: float = 0.25, step: float = 0.01) -> float:
-    """Frame-based diarization error rate (MISS + FA + speaker confusion)
-    with a no-score collar around reference boundaries and optimal speaker
-    mapping per recording (Hungarian assignment)."""
+                collar: float = 0.25) -> float:
+    """Diarization error rate with md-eval.pl scoring semantics
+    (the reference scores with `md-eval.pl -c 0.25`,
+    examples/voxconverse/v2/run.sh:170-173):
+
+      - exact interval arithmetic (event-boundary sweep, no frame
+        quantization),
+      - no-score collar around every *reference* segment boundary,
+      - overlapping speech fully scored: per instant the error is
+        max(Nref, Nhyp) - Ncorrect and the denominator counts Nref
+        speakers (no `-1` flag, matching the recipe invocation),
+      - one optimal one-to-one speaker mapping per recording, maximizing
+        mapped overlap time over the scored regions (Hungarian),
+      - a single time-weighted DER accumulated across recordings.
+
+    Validated against hand-computed md-eval arithmetic in
+    tests/test_der_mdeval.py. Known delta vs md-eval.pl: the speaker map
+    here is computed over scored time only (md-eval may weigh collar time
+    too when choosing its map; this differs only in near-tie cases where
+    two mappings have almost equal overlap).
+    """
     from scipy.optimize import linear_sum_assignment
 
     total_err, total_ref = 0.0, 0.0
     for utt, ref_segs in ref.items():
         hyp_segs = hyp.get(utt, [])
-        t_end = max([e for _, e, _ in ref_segs + hyp_segs] or [0.0])
-        n = int(np.ceil(t_end / step)) + 1
         ref_spks = sorted({s for _, _, s in ref_segs})
         hyp_spks = sorted({s for _, _, s in hyp_segs})
-        r = np.zeros((len(ref_spks), n), bool)
-        h = np.zeros((len(hyp_spks), n), bool)
-        for b, e, s in ref_segs:
-            r[ref_spks.index(s), int(b / step):int(e / step)] = True
-        for b, e, s in hyp_segs:
-            h[hyp_spks.index(s), int(b / step):int(e / step)] = True
-        score = np.ones(n, bool)
-        for b, e, _ in ref_segs:
-            for t in (b, e):
-                lo = max(0, int((t - collar) / step))
-                hi = min(n, int((t + collar) / step))
-                score[lo:hi] = False
+        rmap = {i: ref_spks.index(s)
+                for i, (_, _, s) in enumerate(ref_segs)}
+        hmap = {i: hyp_spks.index(s)
+                for i, (_, _, s) in enumerate(hyp_segs)}
+        spans = list(_scored_intervals(ref_segs, hyp_segs, collar))
 
-        rs = r[:, score]
-        hs = h[:, score]
-        # optimal speaker mapping maximizing overlap
+        # pass 1: overlap time per (ref spk, hyp spk) -> optimal mapping
+        overlap = np.zeros((len(ref_spks), len(hyp_spks)))
+        for dur, rs, hs in spans:
+            for i in {rmap[i] for i in rs}:
+                for j in {hmap[j] for j in hs}:
+                    overlap[i, j] += dur
+        mapped = {}
         if len(ref_spks) and len(hyp_spks):
-            overlap = rs.astype(np.float64) @ hs.T.astype(np.float64)
-            ri, hi_ = linear_sum_assignment(-overlap)
-            mapped = np.zeros_like(rs)
-            for a, b2 in zip(ri, hi_):
-                mapped[a] = hs[b2]
-            ncorrect = (rs & mapped).sum(axis=0)
-        else:
-            ncorrect = np.zeros(rs.shape[1], np.int64)
-        nref_t = rs.sum(axis=0)
-        nhyp_t = hs.sum(axis=0)
-        # per-frame error = max(Nref, Nhyp) - Ncorrect (miss+fa+confusion)
-        total_err += float(np.sum(np.maximum(nref_t, nhyp_t) - ncorrect))
-        total_ref += float(nref_t.sum())
-    return float(total_err / max(total_ref, 1))
+            ri, hj = linear_sum_assignment(-overlap)
+            mapped = dict(zip(ri, hj))
+
+        # pass 2: error time
+        for dur, rs, hs in spans:
+            nref = len({rmap[i] for i in rs})
+            nhyp = len({hmap[j] for j in hs})
+            ncorrect = sum(1 for i in {rmap[i] for i in rs}
+                           if i in mapped and mapped[i] in {hmap[j]
+                                                           for j in hs})
+            total_err += dur * (max(nref, nhyp) - ncorrect)
+            total_ref += dur * nref
+    return float(total_err / max(total_ref, 1e-12))
