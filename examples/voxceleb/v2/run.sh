@@ -6,10 +6,13 @@ set -e
 . "$(dirname "$0")/../../parse_options.sh" "$@"
 
 stage=${stage:-1}
-stop_stage=${stop_stage:-7}
+stop_stage=${stop_stage:-9}
 data=${data:-data}
 exp=${exp:-exp/ecapa_c512}
 config=${config:-conf/ecapa_tdnn_c512.yaml}
+lm_config=${lm_config:-conf/ecapa_tdnn_lm.yaml}
+num_avg=${num_avg:-10}
+checkpoint=${checkpoint:-}
 nj=${nj:-1}
 trials="$data/vox1/trials/vox1-O.kaldi"
 
@@ -39,16 +42,28 @@ if [ $stage -le 3 ] && [ $stop_stage -ge 3 ]; then
   python -m wespeaker_tpu.bin.train --config $config \
     exp_dir=$exp data_type=shard \
     train_data=$data/vox2_dev/shard.list utt2spk=$data/vox2_dev/utt2spk \
-    noise_data=$data/musan/store reverb_data=$data/rirs/store
+    noise_data=$data/musan/store reverb_data=$data/rirs/store \
+    ${checkpoint:+checkpoint=$checkpoint}
 fi
 
 if [ $stage -le 4 ] && [ $stop_stage -ge 4 ]; then
   echo "=== stage 4: average checkpoints + extract embeddings ==="
   python -m wespeaker_tpu.bin.average_model \
-    --src_path $exp/models --dst_model $exp/models/avg_model.ckpt --num 10
+    --src_path $exp/models --dst_model $exp/models/avg_model.ckpt \
+    --num $num_avg
+  model_path=$exp/models/avg_model.ckpt
+  # reference run.sh:89-96 — fold RepVGG train branches for deployment
+  if [[ $config == *repvgg*.yaml ]]; then
+    echo "convert repvgg model ..."
+    python -m wespeaker_tpu.bin.convert_repvgg \
+      --config $exp/config.yaml \
+      --checkpoint $model_path \
+      --save_path $exp/models/convert_model.ckpt
+    model_path=$exp/models/convert_model.ckpt
+  fi
   for dset in vox2_dev vox1; do
     python -m wespeaker_tpu.bin.extract --config $exp/config.yaml \
-      --checkpoint $exp/models/avg_model.ckpt \
+      --checkpoint $model_path \
       --data_list $data/$dset/raw.list --out_prefix $exp/embeddings/$dset \
       --batch_size 32
   done
@@ -88,4 +103,27 @@ if [ $stage -le 7 ] && [ $stop_stage -ge 7 ]; then
     --out_score_file $exp/scores/$(basename $trials).qmf
   python -m wespeaker_tpu.bin.compute_metrics \
     $exp/scores/$(basename $trials).qmf
+fi
+
+if [ $stage -le 8 ] && [ $stop_stage -ge 8 ]; then
+  echo "=== stage 8: export the best model (reference run.sh:139-145) ==="
+  python -m wespeaker_tpu.bin.export_model \
+    --config $exp/config.yaml \
+    --checkpoint $exp/models/avg_model.ckpt \
+    --output_model $exp/models/final.stablehlo \
+    --mean_vec $exp/mean/mean_vec.npy
+fi
+
+if [ $stage -le 9 ] && [ $stop_stage -ge 9 ]; then
+  echo "=== stage 9: large-margin fine-tune re-run (run.sh:147-163) ==="
+  lm_exp=${exp}-LM
+  # initialize from the averaged model; the tolerant checkpoint loader
+  # keeps the speed-perturbed 3x classifier rows (do_lm truncation)
+  bash "$0" --stage 3 --stop_stage 8 \
+    --data "$data" \
+    --config "$lm_config" \
+    --lm_config "$lm_config" \
+    --exp "$lm_exp" \
+    --num_avg 1 \
+    --checkpoint "$exp/models/avg_model.ckpt"
 fi

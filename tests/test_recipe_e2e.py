@@ -335,3 +335,89 @@ def test_do_lm_keeps_3x_classifier_rows(tmp_path):
     state = bin_train(str(tmp_path / "c2.yaml"))
     # classifier kept the 3x rows even though speed perturb was disabled
     assert state.params["projection"]["weight"].shape[0] == 9
+
+
+@pytest.mark.slow
+def test_recipe_lm_chain_and_export(tmp_path):
+    """examples/voxceleb/v2/run.sh stages 8-9 off the recipe path
+    (reference run.sh:139-163): base train with speed perturb -> average ->
+    large-margin fine-tune resuming from the *averaged* checkpoint with a
+    ramped-up margin -> export the best model and round-trip the artifact."""
+    from flax import serialization
+
+    from wespeaker_tpu.bin.export_model import (export_stablehlo,
+                                                load_exported)
+
+    entries = _make_corpus(tmp_path, n_spk=3, n_utt=3, seconds=1.5)
+    raw_list = tmp_path / "raw.list"
+    with open(raw_list, "w") as f:
+        for key, spk, path in entries:
+            f.write(json.dumps({"key": key, "spk": spk, "wav": path}) + "\n")
+    utt2spk = tmp_path / "utt2spk"
+    utt2spk.write_text("".join(f"{k} {s}\n" for k, s, _ in entries))
+
+    base = {
+        "data_type": "raw", "train_data": str(raw_list),
+        "utt2spk": str(utt2spk), "num_epochs": 2, "log_batch_interval": 5,
+        "model": "ECAPA_TDNN",
+        "model_args": {"feat_dim": 40, "embed_dim": 32, "channels": 32},
+        "projection_args": {"project_type": "arc_margin", "scale": 32.0},
+        "optimizer": "SGD", "optimizer_args": {"momentum": 0.9},
+        "scheduler_args": {"initial_lr": 0.01, "final_lr": 0.01,
+                           "warm_up_epoch": 1},
+        "margin_scheduler_args": {"increase_start_epoch": 1,
+                                  "fix_start_epoch": 2,
+                                  "initial_margin": 0.0,
+                                  "final_margin": 0.2},
+        "dataset_args": {
+            "batch_size": 2, "num_frms": 100, "shuffle": False,
+            "speed_perturb": True, "aug_prob": 0.0, "spec_aug": False,
+            "fbank_args": {"num_mel_bins": 40, "dither": 0.0},
+            "filter_args": {"min_num_frames": 50, "max_num_frames": 200},
+        },
+        "seed": 7,
+    }
+    base_exp = tmp_path / "exp_base"
+    with open(tmp_path / "base.yaml", "w") as f:
+        yaml.safe_dump(dict(base, exp_dir=str(base_exp)), f)
+    bin_train(str(tmp_path / "base.yaml"))
+
+    # stage-4 equivalent: average the last two epochs
+    avg = average_model(str(base_exp / "models"),
+                        str(base_exp / "models" / "avg_model.ckpt"), num=2)
+
+    # stage 9: LM fine-tune resumes from the avg model via `checkpoint=`
+    # (avg_model.ckpt carries no epoch number -> start_epoch 0) with the
+    # reference's LM margin (0.5 from the start)
+    lm_exp = tmp_path / "exp_lm"
+    lm_cfg = dict(base, exp_dir=str(lm_exp), do_lm=True, checkpoint=avg,
+                  num_epochs=1,
+                  margin_scheduler_args={"initial_margin": 0.5,
+                                         "final_margin": 0.5,
+                                         "increase_start_epoch": 1,
+                                         "fix_start_epoch": 1})
+    with open(tmp_path / "lm.yaml", "w") as f:
+        yaml.safe_dump(lm_cfg, f)
+    state = bin_train(str(tmp_path / "lm.yaml"))
+    # rows survived the resume (3 spk x 3 speeds), and the LM run actually
+    # started from the averaged weights: epoch-0 model exists
+    assert state.params["projection"]["weight"].shape[0] == 9
+    assert (lm_exp / "models" / "model_0.ckpt").exists()
+    with open(avg, "rb") as f:
+        avg_tree = serialization.msgpack_restore(f.read())
+    # the embedding kernels moved from their initialization (training ran)
+    moved = np.abs(
+        np.asarray(state.params["model"]["layer1"]["conv"]["kernel"])
+        - avg_tree["params"]["layer1"]["conv"]["kernel"]).max()
+    assert moved > 0
+
+    # stage 8: export the LM model off the recipe path and round-trip it
+    out = export_stablehlo(str(lm_exp / "config.yaml"),
+                           str(lm_exp / "models" / "model_0.ckpt"),
+                           str(lm_exp / "models" / "final.stablehlo"))
+    fn = load_exported(out)
+    feats = np.random.default_rng(0).normal(size=(2, 120, 40)) \
+        .astype(np.float32)
+    emb = np.asarray(fn(feats))
+    assert emb.shape == (2, 32)
+    assert np.isfinite(emb).all()
