@@ -59,6 +59,35 @@ def load_exported(path: str):
     return exported.call
 
 
+def export_onnx(config, checkpoint_path, out_path, mean_vec_path=None,
+                overrides=None, **kwargs):
+    """Serialize the eval forward as a dynamic-shape ONNX model
+    (feats (B, T, F) float32 -> embs (B, D), opset 14), matching the
+    reference contract wespeaker/bin/export_onnx.py:64-99 — including the
+    baked mean-subtraction. Implemented by the in-repo jaxpr->ONNX
+    converter (export/jaxpr_to_onnx.py); verify offline with
+    export/onnx_numpy.py or any third-party ONNX runtime."""
+    from wespeaker_tpu.export.jaxpr_to_onnx import convert
+
+    configs = parse_config_or_kwargs(config, overrides, **kwargs)
+    built, variables = load_model_for_eval(configs, checkpoint_path)
+    model = built.model
+    feat_dim = configs["model_args"].get("feat_dim", 80)
+    mean_vec = (jnp.asarray(np.load(mean_vec_path))
+                if mean_vec_path else None)
+
+    def forward(feats):
+        emb = model.apply(variables, feats, train=False)
+        if mean_vec is not None:
+            emb = emb - mean_vec
+        return emb
+
+    blob = convert(forward, feat_dim=feat_dim)
+    with open(out_path, "wb") as f:
+        f.write(blob)
+    return out_path
+
+
 def main():
     from wespeaker_tpu.utils.jax_cache import enable_persistent_cache
     enable_persistent_cache()
@@ -67,10 +96,16 @@ def main():
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--output_model", required=True)
     ap.add_argument("--mean_vec", default=None)
+    ap.add_argument("--format", default="stablehlo",
+                    choices=["stablehlo", "onnx"])
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
-    export_stablehlo(args.config, args.checkpoint, args.output_model,
-                     args.mean_vec, args.overrides)
+    if args.format == "onnx":
+        export_onnx(args.config, args.checkpoint, args.output_model,
+                    args.mean_vec, args.overrides)
+    else:
+        export_stablehlo(args.config, args.checkpoint, args.output_model,
+                         args.mean_vec, args.overrides)
 
 
 if __name__ == "__main__":
