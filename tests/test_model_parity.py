@@ -273,6 +273,30 @@ def test_bigru_matches_torch_gru():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_bigru_torch_quirk_matches_reference_bug():
+    """gru_quirk_compat replicates the reference's batch_first quirk
+    bit-for-bit: torch nn.GRU(batch_first=False) fed (B, T, C) recurs over
+    the batch axis (wespeaker/models/redimnet.py:107-115)."""
+    import torch
+    import jax.numpy as jnp
+    from wespeaker_tpu.models.redimnet import BiGRU
+    from wespeaker_tpu.utils.torch_compat import torch_to_flax_variables
+
+    torch.manual_seed(0)
+    tg = torch.nn.GRU(input_size=6, hidden_size=5, num_layers=1, bias=True,
+                      batch_first=False, bidirectional=True).eval()
+    x = np.random.default_rng(0).normal(size=(4, 9, 6)).astype(np.float32)
+    with torch.no_grad():
+        want = tg(torch.from_numpy(x))[0].numpy()  # quirk: seq axis = B
+
+    model = BiGRU(5, torch_quirk=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((4, 9, 6)))
+    sd = {f"gru.{k}": v for k, v in tg.state_dict().items()}
+    variables = torch_to_flax_variables(sd, variables)
+    got = np.asarray(model.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_redimnet_gru_time_context_block():
     """'gru' variant recurs over time: permuting the batch must not change
     per-sample outputs (the reference's batch_first quirk would)."""

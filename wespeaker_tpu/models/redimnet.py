@@ -185,10 +185,12 @@ class BiGRU(nn.Module):
     The reference's 'gru' block (wespeaker/models/redimnet.py:107-115,
     564-575) constructs nn.GRU(batch_first=False) but feeds it (B, T, C),
     so torch recurs over the *batch* axis — an apparent bug no released
-    config exercises. We implement the intended semantics: recurrence
-    over the time axis.
+    config exercises. We implement the intended semantics (recurrence over
+    time) by default; `torch_quirk=True` replicates the reference bug
+    bit-for-bit for any checkpoint that was trained with it.
     """
     hidden: int
+    torch_quirk: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -197,6 +199,12 @@ class BiGRU(nn.Module):
         fwd = nn.RNN(nn.GRUCell(self.hidden, name="fwd"))
         bwd = nn.RNN(nn.GRUCell(self.hidden, name="bwd"), reverse=True,
                      keep_order=True)
+        if self.torch_quirk:
+            # torch nn.GRU(batch_first=False) fed (B, T, C) takes axis 0
+            # as the sequence: recur over B with T acting as the batch
+            xq = x.swapaxes(0, 1)  # RNN scans axis 1 -> the B axis
+            return jnp.concatenate([fwd(xq), bwd(xq)],
+                                   axis=-1).swapaxes(0, 1)
         return jnp.concatenate([fwd(x), bwd(x)], axis=-1)
 
 
@@ -206,6 +214,7 @@ class TimeContextBlock1d(nn.Module):
     hC: int
     pos_ker_sz: int = 59
     block_type: str = "att"
+    gru_quirk_compat: bool = False  # see BiGRU.torch_quirk
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -221,7 +230,8 @@ class TimeContextBlock1d(nn.Module):
             h = TransformerEncoderLayer(self.hC, self.hC * 2, 4,
                                         name="tcm_1")(h)
         elif self.block_type == "gru":
-            h = BiGRU(self.hC, name="tcm_0")(h)
+            h = BiGRU(self.hC, torch_quirk=self.gru_quirk_compat,
+                      name="tcm_0")(h)
             h = conv1d(self.hC, 1, name="tcm_1")(h)
         elif self.block_type == "conv+att":
             for i, ks in enumerate((7, 19, 31, 59)):
@@ -262,6 +272,7 @@ class ReDimNetBone(nn.Module):
     )
     group_divisor: Optional[int] = 1
     out_channels: Optional[int] = 512
+    gru_quirk_compat: bool = False  # see BiGRU.torch_quirk
 
     def _block2d(self, c, f, name):
         if self.block_2d_type == "convnext_like":
@@ -329,6 +340,7 @@ class ReDimNetBone(nn.Module):
                 h1d = TimeContextBlock1d(
                     C0 * F0, (C0 * F0) // att_red,
                     block_type=self.block_1d_type,
+                    gru_quirk_compat=self.gru_quirk_compat,
                     name=f"stage{si}_{idx}")(h1d, train)
             outputs_1d.append(h1d)
 
@@ -351,6 +363,7 @@ class ReDimNet(nn.Module):
     pooling_func: str = "ASTP"
     global_context_att: bool = True
     two_emb_layer: bool = False
+    gru_quirk_compat: bool = False  # see BiGRU.torch_quirk
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None,
@@ -359,6 +372,7 @@ class ReDimNet(nn.Module):
         feat = ReDimNetBone(self.feat_dim, self.C, self.block_1d_type,
                             self.block_2d_type, self.stages_setup,
                             self.group_divisor, self.out_channels,
+                            gru_quirk_compat=self.gru_quirk_compat,
                             name="backbone")(h, train)
         if return_frame_feat:
             return feat
