@@ -7,7 +7,11 @@ Baseline anchor: the reference's best published GPU number — ResNet34
 onnxruntime RTF 0.00857 on an RTX 3090 (runtime/onnxruntime/README.md:100),
 i.e. ~117 audio-seconds/s. vs_baseline = throughput / 117.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+"extra" records the full train-step throughput (fwd+bwd+ArcMargin-17982+
+SGD, bf16 AMP, batch 256) so training regressions are visible per round,
+not just extraction (the reference publishes no train-throughput number,
+so vs_baseline stays anchored to extraction).
 """
 
 import json
@@ -65,12 +69,66 @@ def main():
 
     audio_seconds = batch * CHUNK_SECONDS * iters
     value = audio_seconds / dt
+
+    train_value = bench_train_step()
     print(json.dumps({
         "metric": "ecapa_tdnn_glob_c512_extract_audio_s_per_s_per_chip",
         "value": round(value, 1),
         "unit": "audio-seconds/s/chip",
         "vs_baseline": round(value / BASELINE_AUDIO_S_PER_S, 2),
+        "extra": {
+            "train_step_audio_s_per_s_per_chip": round(train_value, 1),
+            "train_config": "ECAPA_GLOB_c512 b256 bf16 arcmargin17982 sgd",
+        },
     }))
+
+
+def bench_train_step(batch=256, iters=20):
+    """Full jitted train step (device fbank + spec-aug + fwd/bwd +
+    ArcMargin over 3x-voxceleb2 classes + SGD), bf16 AMP — the executor
+    hot loop as one XLA program (scripts/bench_train_step.py settings)."""
+    import optax
+
+    from wespeaker_tpu.frontend import FbankConfig
+    from wespeaker_tpu.models.ecapa_tdnn import ECAPA_TDNN
+    from wespeaker_tpu.models.projections import ArcMarginProduct
+    from wespeaker_tpu.train import init_train_state, make_train_step
+    from wespeaker_tpu.train.train_step import AugConfig
+    from wespeaker_tpu.utils.schedulers import (ExponentialDecrease,
+                                                MarginScheduler)
+
+    num_class = 17982  # 5994 voxceleb2 speakers x 3 speed-perturb classes
+    model = ECAPA_TDNN(channels=512, feat_dim=80, embed_dim=192,
+                       global_context_att=True)
+    projection = ArcMarginProduct(192, num_class)
+    tx = optax.inject_hyperparams(optax.sgd)(learning_rate=0.1,
+                                             momentum=0.9)
+    epoch_iter = 1092009 // batch
+    step_fn = make_train_step(
+        model, projection, tx,
+        ExponentialDecrease(150, epoch_iter, 0.1, 5e-5, warm_up_epoch=6),
+        MarginScheduler(epoch_iter, 20, 40, 0.0, 0.2),
+        fbank_cfg=FbankConfig(dither=1.0),
+        aug=AugConfig(spec_aug=True),
+        compute_dtype=jnp.bfloat16)
+    state = jax.device_put(
+        init_train_state(model, projection, tx, jax.random.PRNGKey(0)))
+    rng = np.random.default_rng(0)
+    data = {
+        "wav": jnp.asarray(rng.uniform(
+            -0.5, 0.5, (batch, CHUNK_SAMPLES)).astype(np.float32)),
+        "label": jnp.asarray(
+            rng.integers(0, num_class, batch).astype(np.int32)),
+    }
+    step_jit = jax.jit(step_fn, donate_argnums=(0,))
+    state, metrics = step_jit(state, data)
+    _ = float(metrics["loss"])  # scalar fetch: real step boundary
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step_jit(state, data)
+    _ = float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return batch * CHUNK_SECONDS / dt
 
 
 if __name__ == "__main__":
