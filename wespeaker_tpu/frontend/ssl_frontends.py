@@ -4,17 +4,28 @@ Reference surface: wespeaker/frontend/s3prl.py (S3PRL upstream + learned
 layer-weighted sum) and wespeaker/frontend/w2vbert.py (HF w2v-bert-2.0
 returning (all_hidden_states, last_hidden)).
 
-TPU-native path: HuggingFace *Flax* speech encoders (wav2vec2 family has a
-native Flax implementation) wrapped behind the frontend contract —
-`__call__(wav) -> (tuple of hidden states, last_hidden)`. Checkpoints load
-with from_pretrained when network/cache is available; tests instantiate
-random tiny configs. Torch-only upstreams (s3prl WavLM, w2v-bert-2.0) are
-gated with clear errors; their *downstream* heads (adapter-MFA, ECAPA,
-featurizer weighting) are fully implemented and tested against random
-hidden states.
+Supported-upstream matrix (see docs/MIGRATING.md for the full table):
 
-Model-axis sharding: pass `params_partition_rules()` output to shard the
-attention/MLP kernels of large checkpoints over the ('model',) mesh axis.
+- WavLM (base/base+/large)  -> native flax port, torch-parity-tested:
+  `frontend/wavlm.py::WavLMWithFeaturizer` (`dataset_args.frontend: wavlm`).
+- HuBERT / wav2vec2         -> `frontend/wavlm.py` mode flags (the three
+  share the conv-extractor + transformer trunk) or `Wav2Vec2Frontend`
+  below (HF Flax wrapper).
+- w2v-bert 2.0              -> native flax conformer, torch-parity-tested:
+  `frontend/w2vbert.py::W2VBertFrontend` (`dataset_args.frontend: w2vbert`).
+- Whisper encoder           -> `frontend/whisper_encoder.py`
+  (`dataset_args.frontend: whisper_encoder`).
+- Other s3prl upstream names (the reference's S3prlFrontend accepts any,
+  s3prl.py:23-93) have no TPU path; precompute features with the torch
+  stack and train with `data_type: feat`.
+
+This module keeps the pieces shared across those frontends: the learned
+layer-weighting `Featurizer` and the generic HF-Flax wav2vec2 wrapper.
+
+Model-axis sharding: the native ports carry flax logical axis names
+('embed'/'heads'/'mlp'); map them over the ('model',) mesh axis with
+nn.logical_to_mesh_sharding (tests/test_whisper_sharding.py shows the
+recipe).
 """
 
 

@@ -214,5 +214,8 @@ def build_model(configs: Dict[str, Any]) -> BuiltModel:
         return BuiltModel(model, featurize_train, featurize_eval,
                           cfg.n_mels, frontend_type)
 
-    raise KeyError(f"unknown frontend {frontend_type}; for wav2vec2-family "
-                   "flax frontends see frontend/ssl_frontends.py")
+    raise KeyError(
+        f"unknown frontend {frontend_type}; supported: fbank, tfmel, wavlm "
+        "(also hubert/wav2vec2 modes), w2vbert, whisper_encoder — see the "
+        "supported-upstream matrix in frontend/ssl_frontends.py and "
+        "docs/MIGRATING.md")
