@@ -14,7 +14,6 @@ Run ONE variant per invocation (tunnel compiles are slow).
 import json
 import os
 import sys
-import time
 from typing import Optional
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -133,15 +132,10 @@ def main():
         data = {"feat": jnp.asarray(rng.normal(
             size=(batch, 200, 80)).astype(np.float32))}
 
-    fn(data).block_until_ready()
-    for _ in range(3):
-        out = fn(data)
-    out.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(data)
-    np.asarray(out[0, 0])  # scalar fetch through the tunnel
-    dt = (time.perf_counter() - t0) / iters
+    # On-device loop timing: the tunnel's per-dispatch floor (~40 ms some
+    # sessions) swamps a Python enqueue loop — see utils/bench_timing.py.
+    from wespeaker_tpu.utils.bench_timing import time_fn_on_device
+    dt = time_fn_on_device(fn, data, iters=iters)
     print(json.dumps({"variant": variant, "batch": batch,
                       "ms": round(dt * 1e3, 2),
                       "audio_s_per_s": round(batch * 2.0 / dt, 1)}))

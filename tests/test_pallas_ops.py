@@ -98,6 +98,84 @@ def test_fused_res2_chain_bf16_close_to_f32():
     assert abs(got.mean() - want.mean()) < 2e-3
 
 
+def test_fused_se_block_module_matches_standard():
+    """ECAPA with fused_block=True (whole-SE-Res2-block Pallas kernel,
+    interpret on CPU) must equal the standard flax path on identical
+    variables — the parameter trees are interchangeable by construction."""
+    from wespeaker_tpu.models.ecapa_tdnn import ECAPA_TDNN
+
+    std = ECAPA_TDNN(channels=512, feat_dim=24, embed_dim=32,
+                     global_context_att=True)
+    fused = ECAPA_TDNN(channels=512, feat_dim=24, embed_dim=32,
+                       global_context_att=True, fused_block=True)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 40, 24)).astype(np.float32))
+    variables = std.init(jax.random.PRNGKey(0), x)
+    import jax as _j
+    bs = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * _j.random.normal(_j.random.PRNGKey(1), a.shape),
+        variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": bs}
+    want = np.asarray(std.apply(variables, x))
+    got = np.asarray(fused.apply(variables, x))
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+    # masked call must fall back to the standard path on the same tree
+    mask = jnp.ones((2, 40), jnp.float32)
+    got_m = np.asarray(fused.apply(variables, x, mask=mask))
+    np.testing.assert_allclose(got_m, want, atol=5e-5, rtol=1e-4)
+
+
+def test_fused_se_block_kernel_matches_reference():
+    """Direct kernel (interpret) vs the jnp fallback, f32 and bf16."""
+    from wespeaker_tpu.ops.se_block_pallas import (block_kernel_fits,
+                                                   fused_se_res2_block,
+                                                   se_res2_block_reference)
+
+    assert block_kernel_fits(200, 512, 8)
+    assert not block_kernel_fits(200, 64, 8)       # width 8: fallback
+    assert not block_kernel_fits(12000, 512, 8)    # long bucket: fallback
+    assert not block_kernel_fits(None, 512, 8)     # symbolic t: fallback
+
+    rng = np.random.default_rng(4)
+    b, t, c, scale = 3, 30, 512, 8
+    width = c // scale
+    nums = scale - 1
+    args = dict(
+        x=rng.normal(size=(b, t, c)).astype(np.float32),
+        w1=(rng.normal(size=(c, c)) * 0.04).astype(np.float32),
+        b1=0.1 * rng.normal(size=(c,)).astype(np.float32),
+        s1=(1 + 0.1 * rng.normal(size=(c,))).astype(np.float32),
+        h1=0.1 * rng.normal(size=(c,)).astype(np.float32),
+        cw=(rng.normal(size=(nums, 3, width, width)) * 0.1
+            ).astype(np.float32),
+        cb=0.1 * rng.normal(size=(nums, width)).astype(np.float32),
+        cs=(1 + 0.1 * rng.normal(size=(nums, width))).astype(np.float32),
+        ch=0.1 * rng.normal(size=(nums, width)).astype(np.float32),
+        w2=(rng.normal(size=(c, c)) * 0.04).astype(np.float32),
+        b2=0.1 * rng.normal(size=(c,)).astype(np.float32),
+        s2=(1 + 0.1 * rng.normal(size=(c,))).astype(np.float32),
+        h2=0.1 * rng.normal(size=(c,)).astype(np.float32),
+        sw1=(rng.normal(size=(c, 128)) * 0.08).astype(np.float32),
+        sb1=0.1 * rng.normal(size=(128,)).astype(np.float32),
+        sw2=(rng.normal(size=(128, c)) * 0.08).astype(np.float32),
+        sb2=0.1 * rng.normal(size=(c,)).astype(np.float32),
+    )
+    jargs = {k: jnp.asarray(v) for k, v in args.items()}
+    want = np.asarray(se_res2_block_reference(**jargs, dilation=3))
+    got = np.asarray(fused_se_res2_block(**jargs, dilation=3,
+                                         interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    bargs = {k: (jnp.asarray(v, jnp.bfloat16) if k == "x" else jnp.asarray(v))
+             for k, v in args.items()}
+    got16 = np.asarray(fused_se_res2_block(**bargs, dilation=3,
+                                           interpret=True)
+                       ).astype(np.float32)
+    # bf16 per-element noise, but the residual structure keeps it bounded
+    np.testing.assert_allclose(got16, want, atol=0.25, rtol=0.25)
+    assert abs(got16.mean() - want.mean()) < 5e-3
+
+
 def test_fused_res2_kernel_matches_reference_chain():
     """Direct kernel (interpret) vs the jnp fallback at an MXU-friendly
     width — the shapes the guard routes to the kernel on TPU."""

@@ -146,6 +146,39 @@ class FusedRes2Conv1dReluBn(nn.Module):
         return fused_res2_chain(*args, interpret=interpret)
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder matching nn.Dense's tree (kernel/bias)."""
+    in_dim: int
+    out_dim: int
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.in_dim, self.out_dim))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.out_dim,))
+
+    def __call__(self):
+        return self.kernel, self.bias
+
+
+class _ConvBnParams(nn.Module):
+    """Parameter tree of Conv1dReluBn (conv + bn children) without the
+    compute; returns the BN-folded (weight, bias, scale, shift)."""
+    channels: int
+    kernel_size: int = 1
+
+    def setup(self):
+        self.conv = _ConvParams(self.channels, self.kernel_size,
+                                name="conv")
+        self.bn = _BNParams(self.channels, name="bn")
+
+    def __call__(self):
+        k, b = self.conv()
+        gamma, beta, mean, var = self.bn()
+        s = gamma / jnp.sqrt(var + 1e-5)
+        return k, b, s, beta - mean * s
+
+
 class SE_Connect(nn.Module):
     channels: int
     se_bottleneck_dim: int = 128
@@ -158,6 +191,49 @@ class SE_Connect(nn.Module):
         return x * s[:, None, :]
 
 
+class _SEParams(nn.Module):
+    """Parameter tree of SE_Connect (linear1/linear2 Dense children)."""
+    channels: int
+    se_bottleneck_dim: int = 128
+
+    def setup(self):
+        self.linear1 = _DenseParams(self.channels, self.se_bottleneck_dim,
+                                    name="linear1")
+        self.linear2 = _DenseParams(self.se_bottleneck_dim, self.channels,
+                                    name="linear2")
+
+    def __call__(self):
+        return (*self.linear1(), *self.linear2())
+
+
+class _Res2ChainParams(nn.Module):
+    """Parameter tree of Res2Conv1dReluBn (convs_i/bns_i children);
+    returns the chain arrays stacked for the fused kernels."""
+    channels: int
+    kernel_size: int
+    scale: int
+
+    def setup(self):
+        width = self.channels // self.scale
+        nums = self.scale - 1
+        self.convs = [_ConvParams(width, self.kernel_size,
+                                  name=f"convs_{i}") for i in range(nums)]
+        self.bns = [_BNParams(width, name=f"bns_{i}") for i in range(nums)]
+
+    def __call__(self):
+        kernels, biases, scales, shifts = [], [], [], []
+        for conv, bn in zip(self.convs, self.bns):
+            k, b = conv()
+            gamma, beta, mean, var = bn()
+            s = gamma / jnp.sqrt(var + 1e-5)
+            kernels.append(k)
+            biases.append(b)
+            scales.append(s)
+            shifts.append(beta - mean * s)
+        return (jnp.stack(kernels), jnp.stack(biases), jnp.stack(scales),
+                jnp.stack(shifts))
+
+
 class SE_Res2Block(nn.Module):
     channels: int
     kernel_size: int
@@ -166,9 +242,30 @@ class SE_Res2Block(nn.Module):
     dilation: int
     scale: int
     fused_res2: bool = False
+    fused_block: bool = False  # whole-block Pallas kernel (inference only)
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
+        if self.fused_block and not train and mask is None:
+            from wespeaker_tpu.ops.se_block_pallas import (
+                block_kernel_fits, fused_se_res2_block)
+            if block_kernel_fits(x.shape[1], self.channels, self.scale,
+                                 x.dtype.itemsize):
+                import jax as _jax
+                w1, b1, s1, h1 = _ConvBnParams(self.channels, 1,
+                                               name="block_0")()
+                cw, cb, cs, ch = _Res2ChainParams(
+                    self.channels, self.kernel_size, self.scale,
+                    name="block_1")()
+                w2, b2, s2, h2 = _ConvBnParams(self.channels, 1,
+                                               name="block_2")()
+                sw1, sb1, sw2, sb2 = _SEParams(self.channels,
+                                               name="block_3")()
+                interpret = _jax.devices()[0].platform != "tpu"
+                return fused_se_res2_block(
+                    x, w1[0], b1, s1, h1, cw, cb, cs, ch, w2[0], b2, s2,
+                    h2, sw1, sb1, sw2, sb2, self.dilation,
+                    interpret=interpret)
         out = Conv1dReluBn(self.channels, 1, name="block_0")(x, train)
         res2_cls = (FusedRes2Conv1dReluBn
                     if self.fused_res2 and not train else Res2Conv1dReluBn)
@@ -188,18 +285,19 @@ class ECAPA_TDNN(nn.Module):
     global_context_att: bool = False
     emb_bn: bool = False
     fused_res2: bool = False  # Pallas Res2 chain (inference only)
+    fused_block: bool = False  # whole-SE-Res2-block Pallas kernel (inference)
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None,
                  train: bool = False, return_frame_feat: bool = False):
         """x: (B, T, F) fbank features. Returns (B, embed_dim) embedding."""
-        fr = self.fused_res2
+        fr, fb = self.fused_res2, self.fused_block
         out1 = Conv1dReluBn(self.channels, 5, padding=2, name="layer1")(x, train)
-        out2 = SE_Res2Block(self.channels, 3, 1, 2, 2, 8, fr,
+        out2 = SE_Res2Block(self.channels, 3, 1, 2, 2, 8, fr, fb,
                             name="layer2")(out1, mask, train)
-        out3 = SE_Res2Block(self.channels, 3, 1, 3, 3, 8, fr,
+        out3 = SE_Res2Block(self.channels, 3, 1, 3, 3, 8, fr, fb,
                             name="layer3")(out2, mask, train)
-        out4 = SE_Res2Block(self.channels, 3, 1, 4, 4, 8, fr,
+        out4 = SE_Res2Block(self.channels, 3, 1, 4, 4, 8, fr, fb,
                             name="layer4")(out3, mask, train)
 
         out = jnp.concatenate([out2, out3, out4], axis=-1)
