@@ -119,10 +119,14 @@ def test_fused_se_block_module_matches_standard():
     want = np.asarray(std.apply(variables, x))
     got = np.asarray(fused.apply(variables, x))
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
-    # masked call must fall back to the standard path on the same tree
-    mask = jnp.ones((2, 40), jnp.float32)
+    # masked (padded-bucket) call: fused kernel counts pad frames out of
+    # the SE squeeze exactly like the standard masked path
+    m = np.ones((2, 40), np.float32)
+    m[0, 25:] = 0.0
+    mask = jnp.asarray(m)
+    want_m = np.asarray(std.apply(variables, x, mask=mask))
     got_m = np.asarray(fused.apply(variables, x, mask=mask))
-    np.testing.assert_allclose(got_m, want, atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(got_m, want_m, atol=5e-5, rtol=1e-4)
 
 
 def test_fused_se_block_kernel_matches_reference():
@@ -174,6 +178,39 @@ def test_fused_se_block_kernel_matches_reference():
     # bf16 per-element noise, but the residual structure keeps it bounded
     np.testing.assert_allclose(got16, want, atol=0.25, rtol=0.25)
     assert abs(got16.mean() - want.mean()) < 5e-3
+
+
+@pytest.mark.parametrize("glob,with_mask", [(True, False), (True, True),
+                                            (False, False)])
+def test_fused_mfa_astp_module_matches_standard(glob, with_mask):
+    """ECAPA with fused_tail=True (MFA+ASTP Pallas kernel, interpret on
+    CPU) must equal the standard flax tail on identical variables."""
+    from wespeaker_tpu.models.ecapa_tdnn import ECAPA_TDNN
+
+    std = ECAPA_TDNN(channels=512, feat_dim=24, embed_dim=32,
+                     global_context_att=glob)
+    fused = ECAPA_TDNN(channels=512, feat_dim=24, embed_dim=32,
+                       global_context_att=glob, fused_tail=True)
+    x = jnp.asarray(np.random.default_rng(5).normal(
+        size=(2, 40, 24)).astype(np.float32))
+    variables = std.init(jax.random.PRNGKey(0), x)
+    import jax as _j
+    bs = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * _j.random.normal(_j.random.PRNGKey(1), a.shape),
+        variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": bs}
+    mask = None
+    if with_mask:
+        m = np.ones((2, 40), np.float32)
+        m[0, 25:] = 0.0
+        mask = jnp.asarray(m)
+    want = np.asarray(std.apply(variables, x, mask=mask))
+    got = np.asarray(fused.apply(variables, x, mask=mask))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    # frame-feat path must bypass the fused tail on the same tree
+    ff_std = np.asarray(std.apply(variables, x, return_frame_feat=True))
+    ff_fused = np.asarray(fused.apply(variables, x, return_frame_feat=True))
+    np.testing.assert_allclose(ff_fused, ff_std, atol=1e-6)
 
 
 def test_fused_res2_kernel_matches_reference_chain():

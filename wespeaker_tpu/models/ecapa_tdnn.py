@@ -246,7 +246,7 @@ class SE_Res2Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
-        if self.fused_block and not train and mask is None:
+        if self.fused_block and not train:
             from wespeaker_tpu.ops.se_block_pallas import (
                 block_kernel_fits, fused_se_res2_block)
             if block_kernel_fits(x.shape[1], self.channels, self.scale,
@@ -264,7 +264,7 @@ class SE_Res2Block(nn.Module):
                 interpret = _jax.devices()[0].platform != "tpu"
                 return fused_se_res2_block(
                     x, w1[0], b1, s1, h1, cw, cb, cs, ch, w2[0], b2, s2,
-                    h2, sw1, sb1, sw2, sb2, self.dilation,
+                    h2, sw1, sb1, sw2, sb2, self.dilation, mask=mask,
                     interpret=interpret)
         out = Conv1dReluBn(self.channels, 1, name="block_0")(x, train)
         res2_cls = (FusedRes2Conv1dReluBn
@@ -277,6 +277,25 @@ class SE_Res2Block(nn.Module):
         return x + out
 
 
+class _ASTPParams(nn.Module):
+    """Parameter tree of pooling_layers.ASTP (linear1/linear2) without the
+    compute, for the fused MFA+ASTP tail kernel."""
+    in_dim: int
+    bottleneck_dim: int = 128
+    global_context_att: bool = False
+
+    def setup(self):
+        from wespeaker_tpu.models.pooling_layers import _K1ConvParams
+        k_in = 3 * self.in_dim if self.global_context_att else self.in_dim
+        self.linear1 = _K1ConvParams(k_in, self.bottleneck_dim,
+                                     name="linear1")
+        self.linear2 = _K1ConvParams(self.bottleneck_dim, self.in_dim,
+                                     name="linear2")
+
+    def __call__(self):
+        return (*self.linear1(), *self.linear2())
+
+
 class ECAPA_TDNN(nn.Module):
     channels: int = 512
     feat_dim: int = 80
@@ -286,6 +305,7 @@ class ECAPA_TDNN(nn.Module):
     emb_bn: bool = False
     fused_res2: bool = False  # Pallas Res2 chain (inference only)
     fused_block: bool = False  # whole-SE-Res2-block Pallas kernel (inference)
+    fused_tail: bool = False  # MFA-conv+ASTP Pallas kernel (inference)
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None,
@@ -300,15 +320,33 @@ class ECAPA_TDNN(nn.Module):
         out4 = SE_Res2Block(self.channels, 3, 1, 4, 4, 8, fr, fb,
                             name="layer4")(out3, mask, train)
 
-        out = jnp.concatenate([out2, out3, out4], axis=-1)
-        out = conv1d(512 * 3, 1, name="conv")(out)
-        if return_frame_feat:
-            return out
-        out = nn.relu(out)
-        pool_in_dim = 512 * 3
-        pooled = get_pooling(self.pooling_func, pool_in_dim,
-                             global_context_att=self.global_context_att,
-                             name="pool")(out, mask, train)
+        pooled = None
+        if (self.fused_tail and not train and not return_frame_feat
+                and self.pooling_func == "ASTP"):
+            from wespeaker_tpu.ops.mfa_astp_pallas import (fused_mfa_astp,
+                                                           tail_kernel_fits)
+            if tail_kernel_fits(out2.shape[1], self.channels,
+                                out2.dtype.itemsize):
+                import jax as _jax
+                wm, bm = _ConvParams(512 * 3, 1, name="conv")()
+                k1, b1, k2, b2 = _ASTPParams(
+                    512 * 3, global_context_att=self.global_context_att,
+                    name="pool")()
+                interpret = _jax.devices()[0].platform != "tpu"
+                pooled = fused_mfa_astp(
+                    out2, out3, out4, wm[0], bm, k1[0], b1, k2[0], b2,
+                    mask=mask, glob=self.global_context_att,
+                    interpret=interpret).astype(x.dtype)
+        if pooled is None:
+            out = jnp.concatenate([out2, out3, out4], axis=-1)
+            out = conv1d(512 * 3, 1, name="conv")(out)
+            if return_frame_feat:
+                return out
+            out = nn.relu(out)
+            pool_in_dim = 512 * 3
+            pooled = get_pooling(self.pooling_func, pool_in_dim,
+                                 global_context_att=self.global_context_att,
+                                 name="pool")(out, mask, train)
         pooled = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                               epsilon=1e-5, name="bn")(pooled)
         emb = nn.Dense(self.embed_dim, name="linear")(pooled)

@@ -55,9 +55,14 @@ def _chain(h1, cw, cb, cs, ch, *, nums, width, dilation, t, io_dtype):
     return jnp.concatenate(groups, axis=-1)
 
 
-def _block_kernel(x_ref, w1_ref, a1_ref, cw_ref, cb_ref, cs_ref, ch_ref,
-                  w2_ref, a2_ref, sw1_ref, sb1_ref, sw2_ref, sb2_ref, o_ref,
-                  *, nums: int, width: int, dilation: int, t: int):
+def _block_kernel(*refs, nums: int, width: int, dilation: int, t: int,
+                  masked: bool):
+    if masked:
+        (x_ref, mask_ref, w1_ref, a1_ref, cw_ref, cb_ref, cs_ref, ch_ref,
+         w2_ref, a2_ref, sw1_ref, sb1_ref, sw2_ref, sb2_ref, o_ref) = refs
+    else:
+        (x_ref, w1_ref, a1_ref, cw_ref, cb_ref, cs_ref, ch_ref,
+         w2_ref, a2_ref, sw1_ref, sb1_ref, sw2_ref, sb2_ref, o_ref) = refs
     io_dtype = x_ref.dtype
     dn = (((2,), (0,)), ((), ()))
 
@@ -74,11 +79,19 @@ def _block_kernel(x_ref, w1_ref, a1_ref, cw_ref, cb_ref, cs_ref, ch_ref,
                dilation=dilation, t=t, io_dtype=io_dtype)
     h2 = pw(y, w2_ref[...], a2_ref[...])
 
-    # SE: squeeze (mean over T) -> bottleneck MLP -> sigmoid gate
-    m = jnp.mean(h2.astype(jnp.float32), axis=1)  # (NB, C)
+    # SE: squeeze (mean over valid T) -> bottleneck MLP -> sigmoid gate.
+    # Pad frames flow through the convs exactly as in the standard masked
+    # path (which also leaves them unmasked); only the squeeze counts them
+    # out — this is what makes padded buckets equal the batch=1 reference.
+    if masked:
+        m = mask_ref[...].astype(jnp.float32)[..., None]  # (NB, T, 1)
+        cnt = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+        mean = jnp.sum(h2.astype(jnp.float32) * m, axis=1) / cnt
+    else:
+        mean = jnp.mean(h2.astype(jnp.float32), axis=1)  # (NB, C)
     dn2 = (((1,), (0,)), ((), ()))
     z = jnp.maximum(jax.lax.dot_general(
-        m.astype(io_dtype), sw1_ref[...], dn2,
+        mean.astype(io_dtype), sw1_ref[...], dn2,
         preferred_element_type=jnp.float32) + sb1_ref[...], 0.0)
     g = jax.nn.sigmoid(jax.lax.dot_general(
         z.astype(io_dtype), sw2_ref[...], dn2,
@@ -90,7 +103,7 @@ def _block_kernel(x_ref, w1_ref, a1_ref, cw_ref, cb_ref, cs_ref, ch_ref,
 
 def se_res2_block_reference(x, w1, b1, s1, h1, cw, cb, cs, ch,
                             w2, b2, s2, h2, sw1, sb1, sw2, sb2,
-                            dilation: int):
+                            dilation: int, mask=None):
     """Plain-jnp folded-BN SE-Res2 block with the same argument contract as
     fused_se_res2_block — the fallback when shapes don't suit the kernel."""
     t = x.shape[1]
@@ -107,7 +120,12 @@ def se_res2_block_reference(x, w1, b1, s1, h1, cw, cb, cs, ch,
                 cs[:, None, None], ch[:, None, None], nums=nums, width=width,
                 dilation=dilation, t=t, io_dtype=io_dtype)
     h2v = pw(yv, w2, b2, s2, h2)
-    m = jnp.mean(h2v.astype(jnp.float32), axis=1)
+    if mask is not None:
+        mm = mask.astype(jnp.float32)[..., None]
+        cnt = jnp.maximum(jnp.sum(mm, axis=1), 1.0)
+        m = jnp.sum(h2v.astype(jnp.float32) * mm, axis=1) / cnt
+    else:
+        m = jnp.mean(h2v.astype(jnp.float32), axis=1)
     z = jnp.maximum(jnp.matmul(m.astype(io_dtype), sw1.astype(io_dtype),
                                preferred_element_type=jnp.float32) + sb1, 0.0)
     g = jax.nn.sigmoid(
@@ -133,14 +151,16 @@ def block_kernel_fits(t, c: int, scale: int, itemsize: int = 2) -> bool:
 @functools.partial(jax.jit, static_argnames=("dilation", "interpret"))
 def fused_se_res2_block(x, w1, b1, s1, h1, cw, cb, cs, ch,
                         w2, b2, s2, h2, sw1, sb1, sw2, sb2,
-                        dilation: int, interpret: bool = False):
+                        dilation: int, mask=None, interpret: bool = False):
     """x: (B, T, C). w1/w2: (C, C) pointwise-conv weights; b*/s*/h* are the
     conv bias and the eval-mode BN folded to (scale, shift), all (C,).
     cw: (nums, 3, width, width) chain kernels tap-major [t-d, t, t+d];
     cb/cs/ch: (nums, width). sw1: (C, Cb), sb1: (Cb,), sw2: (Cb, C),
-    sb2: (C,) SE excitation weights. Returns x + se_gate * block(x), the
-    SE_Res2Block forward with eval BN. Compute dtype follows x.dtype
-    (bf16 or f32), with f32 matmul accumulation either way."""
+    sb2: (C,) SE excitation weights. mask: optional (B, T) frame-validity
+    mask (padded eval buckets) — affects only the SE squeeze, like the
+    standard masked path. Returns x + se_gate * block(x), the SE_Res2Block
+    forward with eval BN. Compute dtype follows x.dtype (bf16 or f32),
+    with f32 matmul accumulation either way."""
     b0, t, c = x.shape
     nums, k, width, _ = cw.shape
     assert k == 3 and nums * width + width == c, (cw.shape, c)
@@ -148,28 +168,39 @@ def fused_se_res2_block(x, w1, b1, s1, h1, cw, cb, cs, ch,
     xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
     b = b0 + pad
     io_dtype = x.dtype
+    masked = mask is not None
 
     def aff(bias, scale, shift):
         return jnp.stack([bias, scale, shift]).reshape(
             3, 1, 1, c).astype(jnp.float32)
 
+    tile = pl.BlockSpec((BLOCK_B, t, c), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
     vec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    args = [xp]
+    in_specs = [tile]
+    if masked:
+        mp = (jnp.pad(mask, ((0, pad), (0, 0))) if pad else mask)
+        args.append(mp.astype(jnp.float32))
+        in_specs.append(pl.BlockSpec((BLOCK_B, t), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+    args += [
+        w1.astype(io_dtype), aff(b1, s1, h1),
+        cw.astype(io_dtype),
+        cb.reshape(nums, 1, 1, width).astype(jnp.float32),
+        cs.reshape(nums, 1, 1, width).astype(jnp.float32),
+        ch.reshape(nums, 1, 1, width).astype(jnp.float32),
+        w2.astype(io_dtype), aff(b2, s2, h2),
+        sw1.astype(io_dtype), sb1.reshape(1, -1).astype(jnp.float32),
+        sw2.astype(io_dtype), sb2.reshape(1, -1).astype(jnp.float32)]
+    in_specs += [vec] * 12
     out = pl.pallas_call(
         functools.partial(_block_kernel, nums=nums, width=width,
-                          dilation=dilation, t=t),
+                          dilation=dilation, t=t, masked=masked),
         grid=(b // BLOCK_B,),
-        in_specs=[pl.BlockSpec((BLOCK_B, t, c), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)] + [vec] * 12,
-        out_specs=pl.BlockSpec((BLOCK_B, t, c), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=tile,
         out_shape=jax.ShapeDtypeStruct((b, t, c), io_dtype),
         interpret=interpret,
-    )(xp, w1.astype(io_dtype), aff(b1, s1, h1),
-      cw.astype(io_dtype),
-      cb.reshape(nums, 1, 1, width).astype(jnp.float32),
-      cs.reshape(nums, 1, 1, width).astype(jnp.float32),
-      ch.reshape(nums, 1, 1, width).astype(jnp.float32),
-      w2.astype(io_dtype), aff(b2, s2, h2),
-      sw1.astype(io_dtype), sb1.reshape(1, -1).astype(jnp.float32),
-      sw2.astype(io_dtype), sb2.reshape(1, -1).astype(jnp.float32))
+    )(*args)
     return out[:b0]
