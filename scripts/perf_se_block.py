@@ -6,7 +6,7 @@ Timing runs inside one jitted fori_loop (optimization_barrier serializes
 iterations) so the tunnel's per-dispatch floor cancels — see
 scripts/bench_ecapa_ablation.py.
 
-Usage: python scripts/perf_se_block.py [batch] [fused01]
+Usage: python scripts/perf_se_block.py [batch] [block01] [tail01]
 Run ONE configuration per invocation (tunnel compiles are slow).
 """
 
@@ -32,10 +32,12 @@ def main():
     enable_persistent_cache()
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     fused = bool(int(sys.argv[2])) if len(sys.argv) > 2 else True
+    tail = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
     iters = 20
 
     model = ECAPA_TDNN(channels=512, feat_dim=80, embed_dim=192,
-                       global_context_att=True, fused_block=fused)
+                       global_context_att=True, fused_block=fused,
+                       fused_tail=tail)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 80)),
                            train=False)
     variables = jax.tree_util.tree_map(
@@ -51,7 +53,8 @@ def main():
 
     from wespeaker_tpu.utils.bench_timing import time_fn_on_device
     dt = time_fn_on_device(fn, data, iters=iters)
-    print(json.dumps({"fused_block": fused, "batch": batch,
+    print(json.dumps({"fused_block": fused, "fused_tail": tail,
+                  "batch": batch,
                       "ms": round(dt * 1e3, 2),
                       "audio_s_per_s": round(batch * 2.0 / dt, 1)}))
 

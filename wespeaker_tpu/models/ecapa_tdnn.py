@@ -360,25 +360,27 @@ class ECAPA_TDNN(nn.Module):
         return pooling_out_dim(self.pooling_func, 512 * 3)
 
 
-def ECAPA_TDNN_c1024(feat_dim, embed_dim, pooling_func="ASTP", emb_bn=False):
+def ECAPA_TDNN_c1024(feat_dim, embed_dim, pooling_func="ASTP", emb_bn=False,
+                     **fused):
     return ECAPA_TDNN(channels=1024, feat_dim=feat_dim, embed_dim=embed_dim,
-                      pooling_func=pooling_func, emb_bn=emb_bn)
+                      pooling_func=pooling_func, emb_bn=emb_bn, **fused)
 
 
 def ECAPA_TDNN_GLOB_c1024(feat_dim, embed_dim, pooling_func="ASTP",
-                          emb_bn=False):
+                          emb_bn=False, **fused):
     return ECAPA_TDNN(channels=1024, feat_dim=feat_dim, embed_dim=embed_dim,
                       pooling_func=pooling_func, global_context_att=True,
-                      emb_bn=emb_bn)
+                      emb_bn=emb_bn, **fused)
 
 
-def ECAPA_TDNN_c512(feat_dim, embed_dim, pooling_func="ASTP", emb_bn=False):
+def ECAPA_TDNN_c512(feat_dim, embed_dim, pooling_func="ASTP", emb_bn=False,
+                    **fused):
     return ECAPA_TDNN(channels=512, feat_dim=feat_dim, embed_dim=embed_dim,
-                      pooling_func=pooling_func, emb_bn=emb_bn)
+                      pooling_func=pooling_func, emb_bn=emb_bn, **fused)
 
 
 def ECAPA_TDNN_GLOB_c512(feat_dim, embed_dim, pooling_func="ASTP",
-                         emb_bn=False):
+                         emb_bn=False, **fused):
     return ECAPA_TDNN(channels=512, feat_dim=feat_dim, embed_dim=embed_dim,
                       pooling_func=pooling_func, global_context_att=True,
-                      emb_bn=emb_bn)
+                      emb_bn=emb_bn, **fused)
