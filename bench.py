@@ -31,7 +31,9 @@ BASELINE_AUDIO_S_PER_S = 117.0  # 1 / 0.00857 (ResNet34 RTF on 3090)
 def main():
     from wespeaker_tpu.utils.jax_cache import enable_persistent_cache
     enable_persistent_cache()
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    # B=512 measures faster per-sample than 2048 on this chip (85k vs 78k
+    # a-s/s unfused; the fused kernels widen the gap) — see docs/PERF.md
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
     from wespeaker_tpu.frontend import FbankConfig
@@ -49,7 +51,8 @@ def main():
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
         variables)
     embed_fn = make_eval_embed_fn(model, FbankConfig(),
-                                  compute_dtype=jnp.bfloat16)
+                                  compute_dtype=jnp.bfloat16,
+                                  fbank_conv_dtype=jnp.bfloat16)
     fn = jax.jit(lambda b: embed_fn(variables, b))
 
     rng = np.random.default_rng(0)

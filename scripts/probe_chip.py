@@ -38,6 +38,32 @@ def main():
     dt = time_fn_on_device(mm, {"a": a}, iters=50)
     info["bf16_matmul_tflops"] = round(2 * n ** 3 / dt / 1e12, 1)
 
+    if "--big" in sys.argv:
+        n2 = 8192
+        a2 = jnp.asarray(rng.normal(size=(n2, n2)).astype(np.float32)
+                         ).astype(jnp.bfloat16)
+        b2 = jnp.asarray(rng.normal(size=(n2, n2)).astype(np.float32)
+                         ).astype(jnp.bfloat16)
+        mm2 = jax.jit(lambda d: {"a": jax.lax.dot(
+            d["a"], b2, preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)})
+        dt = time_fn_on_device(mm2, {"a": a2}, iters=30)
+        info["bf16_matmul8192_tflops"] = round(2 * n2 ** 3 / dt / 1e12, 1)
+
+    if "--mfa" in sys.argv:
+        # the exact MFA conv shape at B=512: (B*T, 1536) @ (1536, 1536)
+        am = jnp.asarray(rng.normal(size=(102400, 1536)).astype(np.float32)
+                         ).astype(jnp.bfloat16)
+        bm_ = jnp.asarray(rng.normal(size=(1536, 1536)).astype(np.float32)
+                          ).astype(jnp.bfloat16)
+        mmm = jax.jit(lambda d: {"a": jax.lax.dot(
+            d["a"], bm_, preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)})
+        dt = time_fn_on_device(mmm, {"a": am}, iters=30)
+        info["bf16_mfa_shape_ms"] = round(dt * 1e3, 3)
+        info["bf16_mfa_shape_tflops"] = round(
+            2 * 102400 * 1536 * 1536 / dt / 1e12, 1)
+
     m = jnp.ones((64, 1024, 1024), jnp.float32)  # 256 MB
     stream = jax.jit(lambda d: {"x": d["x"] * 1.0000001 + 1e-9})
     dt = time_fn_on_device(stream, {"x": m}, iters=30)

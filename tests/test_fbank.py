@@ -53,3 +53,17 @@ def test_cmvn():
     mask = jnp.concatenate([jnp.ones((2, 50)), jnp.zeros((2, 10))], axis=1)
     ypad = np.asarray(apply_cmvn(xpad, mask=mask))
     np.testing.assert_allclose(ypad[:, :50], y, atol=1e-6)
+
+
+def test_fbank_bf16_conv_close_to_f32():
+    """The bf16-conv fast path (conv_dtype=bfloat16, f32 accumulation) must
+    track the f32 parity path to bf16 input quantization level — it feeds
+    only the bf16 extraction fast path, never parity runs."""
+    wav = jnp.asarray(np.stack([_wav(seed=i) for i in range(2)]))
+    cfg = FbankConfig()
+    want = np.asarray(compute_fbank(wav, cfg))
+    got = np.asarray(compute_fbank(wav, cfg, conv_dtype=jnp.bfloat16))
+    assert got.dtype == np.float32
+    # log-mel absolute error ~ bf16 relative quantization of the DFT
+    assert np.max(np.abs(got - want)) < 0.15
+    assert np.mean(np.abs(got - want)) < 0.02

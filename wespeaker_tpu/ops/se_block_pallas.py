@@ -20,6 +20,7 @@ numbers.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +29,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from wespeaker_tpu.ops.res2_pallas import _tap
 
-BLOCK_B = 8
+# Batch-tile size. Larger tiles amortize the per-grid-step overhead
+# (~tens of us of DMA/sequencing per program measured through this chip)
+# against VMEM pressure; 16 needs the raised vmem limit below.
+BLOCK_B = int(os.environ.get("WESPEAKER_SE_BLOCK_B", "16"))
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _chain(h1, cw, cb, cs, ch, *, nums, width, dilation, t, io_dtype):
@@ -145,7 +150,7 @@ def block_kernel_fits(t, c: int, scale: int, itemsize: int = 2) -> bool:
     width = c // scale
     tile = BLOCK_B * t * c * itemsize
     weights = 2 * c * c * itemsize
-    return width >= 64 and (6 * tile + 2 * weights) <= 12 * 1024 * 1024
+    return width >= 64 and (6 * tile + 2 * weights) <= _VMEM_LIMIT // 3
 
 
 @functools.partial(jax.jit, static_argnames=("dilation", "interpret"))
@@ -201,6 +206,8 @@ def fused_se_res2_block(x, w1, b1, s1, h1, cw, cb, cs, ch,
         in_specs=in_specs,
         out_specs=tile,
         out_shape=jax.ShapeDtypeStruct((b, t, c), io_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*args)
     return out[:b0]

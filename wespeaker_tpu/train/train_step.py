@@ -216,7 +216,8 @@ def make_train_step(model, projection, tx: optax.GradientTransformation,
 
 def make_eval_embed_fn(model, fbank_cfg: FbankConfig = FbankConfig(),
                        compute_dtype=jnp.float32, from_wav: bool = True,
-                       featurize_fn: Optional[Callable] = None):
+                       featurize_fn: Optional[Callable] = None,
+                       fbank_conv_dtype=None):
     """Embedding-extraction forward: wav/feat (+ optional frame mask) ->
     (B, D) embeddings, mirroring wespeaker/bin/extract.py:112-135 (no aug,
     no dither, CMVN on).
@@ -233,7 +234,8 @@ def make_eval_embed_fn(model, fbank_cfg: FbankConfig = FbankConfig(),
             return emb.astype(jnp.float32)
         if from_wav:
             wav = batch["wav"] * (1 << 15)
-            feat = compute_fbank(wav, fbank_cfg, key=None)
+            feat = compute_fbank(wav, fbank_cfg, key=None,
+                                 conv_dtype=fbank_conv_dtype)
             mask = batch.get("mask")
             if mask is not None:
                 from wespeaker_tpu.train.composite import (
