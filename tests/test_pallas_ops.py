@@ -180,16 +180,18 @@ def test_fused_se_block_kernel_matches_reference():
     assert abs(got16.mean() - want.mean()) < 5e-3
 
 
-@pytest.mark.parametrize("glob,with_mask", [(True, False), (True, True),
-                                            (False, False)])
-def test_fused_mfa_astp_module_matches_standard(glob, with_mask):
+@pytest.mark.parametrize("glob,with_mask,channels",
+                         [(True, False, 512), (True, True, 512),
+                          (False, False, 512), (True, False, 1024)])
+def test_fused_mfa_astp_module_matches_standard(glob, with_mask, channels):
     """ECAPA with fused_tail=True (MFA+ASTP Pallas kernel, interpret on
-    CPU) must equal the standard flax tail on identical variables."""
+    CPU) must equal the standard flax tail on identical variables.
+    channels=1024 exercises the non-square MFA conv (3072 -> 1536)."""
     from wespeaker_tpu.models.ecapa_tdnn import ECAPA_TDNN
 
-    std = ECAPA_TDNN(channels=512, feat_dim=24, embed_dim=32,
+    std = ECAPA_TDNN(channels=channels, feat_dim=24, embed_dim=32,
                      global_context_att=glob)
-    fused = ECAPA_TDNN(channels=512, feat_dim=24, embed_dim=32,
+    fused = ECAPA_TDNN(channels=channels, feat_dim=24, embed_dim=32,
                        global_context_att=glob, fused_tail=True)
     x = jnp.asarray(np.random.default_rng(5).normal(
         size=(2, 40, 24)).astype(np.float32))

@@ -303,15 +303,26 @@ class ECAPA_TDNN(nn.Module):
     pooling_func: str = "ASTP"
     global_context_att: bool = False
     emb_bn: bool = False
+    # Fused Pallas inference kernels. None = auto: enabled on TPU backends,
+    # off elsewhere (interpret mode on CPU is correct but slow). Guards
+    # fall back to the standard path whenever shapes don't fit; parameter
+    # trees are identical either way.
     fused_res2: bool = False  # Pallas Res2 chain (inference only)
-    fused_block: bool = False  # whole-SE-Res2-block Pallas kernel (inference)
-    fused_tail: bool = False  # MFA-conv+ASTP Pallas kernel (inference)
+    fused_block: Optional[bool] = None  # whole-SE-Res2-block kernel
+    fused_tail: Optional[bool] = None  # MFA-conv+ASTP kernel
+
+    def _fused_enabled(self, flag):
+        if flag is not None:
+            return flag
+        import jax as _jax
+        return _jax.devices()[0].platform == "tpu"
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None,
                  train: bool = False, return_frame_feat: bool = False):
         """x: (B, T, F) fbank features. Returns (B, embed_dim) embedding."""
-        fr, fb = self.fused_res2, self.fused_block
+        fr = self.fused_res2
+        fb = self._fused_enabled(self.fused_block)
         out1 = Conv1dReluBn(self.channels, 5, padding=2, name="layer1")(x, train)
         out2 = SE_Res2Block(self.channels, 3, 1, 2, 2, 8, fr, fb,
                             name="layer2")(out1, mask, train)
@@ -321,14 +332,19 @@ class ECAPA_TDNN(nn.Module):
                             name="layer4")(out3, mask, train)
 
         pooled = None
-        if (self.fused_tail and not train and not return_frame_feat
-                and self.pooling_func == "ASTP"):
+        if (self._fused_enabled(self.fused_tail) and not train
+                and not return_frame_feat and self.pooling_func == "ASTP"):
             from wespeaker_tpu.ops.mfa_astp_pallas import (fused_mfa_astp,
                                                            tail_kernel_fits)
             if tail_kernel_fits(out2.shape[1], self.channels,
-                                out2.dtype.itemsize):
+                                out2.dtype.itemsize, d=512 * 3):
                 import jax as _jax
-                wm, bm = _ConvParams(512 * 3, 1, name="conv")()
+                from wespeaker_tpu.models.pooling_layers import \
+                    _K1ConvParams
+                # MFA conv maps channels*3 -> 512*3 (non-square for c1024,
+                # reference ecapa_tdnn.py:194-196)
+                wm, bm = _K1ConvParams(self.channels * 3, 512 * 3,
+                                       name="conv")()
                 k1, b1, k2, b2 = _ASTPParams(
                     512 * 3, global_context_att=self.global_context_att,
                     name="pool")()

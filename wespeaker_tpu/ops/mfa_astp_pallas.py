@@ -121,15 +121,17 @@ def mfa_astp_reference(x2, x3, x4, wm, bm, k1, b1, k2, b2, mask=None,
         glob=glob, t=x2.shape[1], io_dtype=x2.dtype)
 
 
-def tail_kernel_fits(t, c: int, itemsize: int = 2) -> bool:
+def tail_kernel_fits(t, c: int, itemsize: int = 2, d=None) -> bool:
     """VMEM model: double-buffered input tiles + resident weights + the
-    (t, 3c) hidden map and ~3 f32-sized temporaries (logits, softmax,
-    stats products). Symbolic t (jax.export) routes to the fallback."""
+    (t, d) hidden map and ~3 f32-sized temporaries (logits, softmax,
+    stats products). c is the per-block channel count, d the MFA output
+    width (the reference fixes d=1536 for every ECAPA size). Symbolic t
+    (jax.export) routes to the fallback."""
     if not isinstance(t, int):
         return False
-    d = 3 * c
+    d = d or 3 * c
     vmem = (2 * 3 * BLOCK_B * t * c * itemsize   # pipelined x2/x3/x4 tiles
-            + d * d * itemsize                   # MFA weights (resident)
+            + 3 * c * d * itemsize               # MFA weights (resident)
             + 4 * d * 128 * itemsize             # attention kernels
             + BLOCK_B * t * d * itemsize         # h
             + 3 * BLOCK_B * t * d * 4)           # f32 logits/softmax/temps
