@@ -6,8 +6,10 @@ model -> embedding, bf16 weights+activations, 2-second chunks.
 Usage: python scripts/bench_models.py [model ...]
 """
 
+import os
 import sys
-import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -53,19 +55,14 @@ def bench_one(name, iters=10):
     embed_fn = make_eval_embed_fn(
         model, FbankConfig(num_mel_bins=feat_dim),
         compute_dtype=jnp.bfloat16)
-    fn = jax.jit(lambda w: embed_fn(variables, {"wav": w}))
-    wav = jnp.asarray(np.random.default_rng(0).uniform(
-        -0.5, 0.5, (batch, CHUNK)).astype(np.float32))
-    out = fn(wav)
-    jax.block_until_ready(out)
-    for _ in range(3):
-        out = fn(wav)
-    float(jnp.sum(out.astype(jnp.float32)))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(wav)
-    float(jnp.sum(out.astype(jnp.float32)))
-    dt = (time.perf_counter() - t0) / iters
+    fn = jax.jit(lambda b: embed_fn(variables, b))
+    data = {"wav": jnp.asarray(np.random.default_rng(0).uniform(
+        -0.5, 0.5, (batch, CHUNK)).astype(np.float32))}
+    # on-device loop timing — immune to the tunnel dispatch floor
+    # (utils/bench_timing.py; round-1 enqueue-loop numbers were inflated
+    # for any program cheaper than the floor)
+    from wespeaker_tpu.utils.bench_timing import time_fn_on_device
+    dt = time_fn_on_device(fn, data, iters=2 * iters)
     asps = batch * 2.0 / dt
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(variables))
