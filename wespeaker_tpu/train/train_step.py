@@ -99,7 +99,8 @@ def spec_aug_batch(key, feat, cfg: AugConfig):
 
 
 def features_from_batch(batch, fbank_cfg: FbankConfig, aug: Optional[AugConfig],
-                        key, train: bool, data_blocks: int = 1):
+                        key, train: bool, data_blocks: int = 1,
+                        fbank_conv_dtype=None):
     """batch: {'wav': (B, N)} or {'feat': (B, T, F)} -> normalized features.
     data_blocks = process count whose front-packed local batches were
     concatenated into this global batch (device-aug packing contract)."""
@@ -124,7 +125,8 @@ def features_from_batch(batch, fbank_cfg: FbankConfig, aug: Optional[AugConfig],
             wav = wav + fbank_cfg.dither * jax.random.normal(
                 sub, wav.shape, dtype=wav.dtype)
             fbank_cfg = dataclasses.replace(fbank_cfg, dither=0.0)
-        feat = compute_fbank(wav, fbank_cfg, key=None)
+        feat = compute_fbank(wav, fbank_cfg, key=None,
+                             conv_dtype=fbank_conv_dtype)
     feat = apply_cmvn(feat)
     if train and aug is not None and aug.spec_aug:
         key, sub = jax.random.split(key)
@@ -151,6 +153,10 @@ def make_train_step(model, projection, tx: optax.GradientTransformation,
 
     def loss_fn(params, batch_stats, proj_stats, batch, margin, key):
         if featurize_fn is None:
+            # NOTE: fbank stays f32 even under bf16 AMP — the reference
+            # computes features outside the autocast region, and bf16
+            # quantization of the DFT (~0.4% rel) is ~100x the dither
+            # noise; a convergence test measurably slowed when tried.
             feat = features_from_batch(batch, fbank_cfg, aug, key,
                                        train=True, data_blocks=data_blocks)
         else:
