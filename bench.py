@@ -61,19 +61,26 @@ def main():
 
     # On-device loop timing: the tunnel's per-dispatch floor (~40 ms some
     # sessions) makes enqueue-loop timing report max(compute, floor) —
-    # see utils/bench_timing.py.
-    from wespeaker_tpu.utils.bench_timing import time_fn_on_device
-    dt_iter = time_fn_on_device(fn, data, iters=iters)
-    value = batch * CHUNK_SECONDS / dt_iter
+    # see utils/bench_timing.py. Best-of-3 independent slope measurements
+    # bound run-to-run variance (VERDICT r2: 6.7% inter-session drift);
+    # the spread is recorded so a real regression is distinguishable from
+    # noise.
+    from wespeaker_tpu.utils.bench_timing import make_serial_loop, time_loop
+    loop = make_serial_loop(fn)
+    dts = [time_loop(loop, data, iters=iters) for _ in range(3)]
+    value = batch * CHUNK_SECONDS / min(dts)
+    spread = (max(dts) - min(dts)) / min(dts)
 
-    train_value = bench_train_step()
+    train_value, train_spread = bench_train_step()
     print(json.dumps({
         "metric": "ecapa_tdnn_glob_c512_extract_audio_s_per_s_per_chip",
         "value": round(value, 1),
         "unit": "audio-seconds/s/chip",
         "vs_baseline": round(value / BASELINE_AUDIO_S_PER_S, 2),
         "extra": {
+            "extract_spread_pct": round(spread * 100, 1),
             "train_step_audio_s_per_s_per_chip": round(train_value, 1),
+            "train_spread_pct": round(train_spread * 100, 1),
             "train_config": "ECAPA_GLOB_c512 b256 bf16 arcmargin17982 sgd",
         },
     }))
@@ -130,11 +137,16 @@ def bench_train_step(batch=256, iters=20):
         _ = float(st.step)  # scalar fetch: real completion
         return time.perf_counter() - t0
 
+    def slope():
+        lo = min(run(3) for _ in range(2))
+        hi = min(run(3 + iters) for _ in range(2))
+        # clamp: timing noise must not yield a negative/absurd slope
+        return max(hi - lo, 1e-9) / iters
+
     run(2)  # compile + warm
-    lo = min(run(3) for _ in range(2))
-    hi = min(run(3 + iters) for _ in range(2))
-    dt = (hi - lo) / iters
-    return batch * CHUNK_SECONDS / dt
+    dts = [slope() for _ in range(3)]  # best-of-3, as for extraction
+    spread = (max(dts) - min(dts)) / min(dts)
+    return batch * CHUNK_SECONDS / min(dts), spread
 
 
 if __name__ == "__main__":

@@ -77,7 +77,12 @@ def main():
     out["bench_fast_vs_f32_exact"] = {"cosine": round(cos, 6)}
 
     print(json.dumps(out))
-    ok = all(v["cosine"] >= 0.999 for v in out.values())
+    # fused-vs-standard on the same bf16 weights must hold the documented
+    # cos >= 0.9999 (docs/PARITY.md); the bf16 fast path vs the strict-f32
+    # exact path is a precision comparison and gets the looser bound.
+    ok = (out["unmasked"]["cosine"] >= 0.9999
+          and out["masked"]["cosine"] >= 0.9999
+          and out["bench_fast_vs_f32_exact"]["cosine"] >= 0.999)
     print("FUSED-TPU-CHECK", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 

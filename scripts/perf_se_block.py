@@ -2,9 +2,10 @@
 path, end-to-end ECAPA-GLOB-c512 bf16 extraction on the ambient (TPU
 tunnel) backend.
 
-Timing runs inside one jitted fori_loop (optimization_barrier serializes
-iterations) so the tunnel's per-dispatch floor cancels — see
-scripts/bench_ecapa_ablation.py.
+Timing runs inside one jitted fori_loop, serialized by the input
+perturbation trick in utils/bench_timing.py (optimization_barrier is
+value-transparent and gets DCE'd), so the tunnel's per-dispatch floor
+cancels.
 
 Usage: python scripts/perf_se_block.py [batch] [block01] [tail01]
 Run ONE configuration per invocation (tunnel compiles are slow).

@@ -25,11 +25,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from wespeaker_tpu.ops.tpu_info import vmem_budget_bytes
+
 # Batch-tile size: BLOCK_B=1 measured 17.9 ms end-to-end at B=512 (vs
 # 11.99 XLA) — ~30 us of per-grid-step overhead x 512 programs swamps the
 # fusion win. Larger tiles amortize it; needs the raised vmem limit.
 BLOCK_B = int(os.environ.get("WESPEAKER_TAIL_BLOCK_B", "8"))
-_VMEM_LIMIT = 100 * 1024 * 1024
 _NEG_INF = -1e30
 
 
@@ -126,7 +127,8 @@ def tail_kernel_fits(t, c: int, itemsize: int = 2, d=None) -> bool:
     (t, d) hidden map and ~3 f32-sized temporaries (logits, softmax,
     stats products). c is the per-block channel count, d the MFA output
     width (the reference fixes d=1536 for every ECAPA size). Symbolic t
-    (jax.export) routes to the fallback."""
+    (jax.export) routes to the fallback. The budget is device-derived
+    (ops/tpu_info.py): small-VMEM TPU generations take the fallback."""
     if not isinstance(t, int):
         return False
     d = d or 3 * c
@@ -135,7 +137,7 @@ def tail_kernel_fits(t, c: int, itemsize: int = 2, d=None) -> bool:
             + 4 * d * 128 * itemsize             # attention kernels
             + BLOCK_B * t * d * itemsize         # h
             + 3 * BLOCK_B * t * d * 4)           # f32 logits/softmax/temps
-    return vmem <= _VMEM_LIMIT // 2
+    return vmem <= vmem_budget_bytes() // 2
 
 
 @functools.partial(jax.jit, static_argnames=("glob", "interpret"))
@@ -191,7 +193,7 @@ def fused_mfa_astp(x2, x3, x4, wm, bm, k1, b1, k2, b2, mask=None,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 1, 2 * d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
+            vmem_limit_bytes=vmem_budget_bytes()),
         interpret=interpret,
     )(*args)
     return out[:b0, 0]

@@ -29,11 +29,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from wespeaker_tpu.ops.res2_pallas import _tap
 
+from wespeaker_tpu.ops.tpu_info import vmem_budget_bytes
+
 # Batch-tile size. Larger tiles amortize the per-grid-step overhead
 # (~tens of us of DMA/sequencing per program measured through this chip)
-# against VMEM pressure; 16 needs the raised vmem limit below.
+# against VMEM pressure; 16 needs the raised vmem limit.
 BLOCK_B = int(os.environ.get("WESPEAKER_SE_BLOCK_B", "16"))
-_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _chain(h1, cw, cb, cs, ch, *, nums, width, dilation, t, io_dtype):
@@ -142,15 +143,15 @@ def se_res2_block_reference(x, w1, b1, s1, h1, cw, cb, cs, ch,
 
 def block_kernel_fits(t, c: int, scale: int, itemsize: int = 2) -> bool:
     """VMEM envelope: one (BLOCK_B, t, c) tile plus two temporaries of the
-    same size, an f32 accumulator, and the (c, c) weights — comfortably
-    under the ~16 MB core budget only within this envelope. Symbolic t
-    (jax.export) routes to the fallback."""
+    same size, an f32 accumulator, and the (c, c) weights. The budget is
+    device-derived (ops/tpu_info.py): small-VMEM TPU generations take the
+    fallback. Symbolic t (jax.export) routes to the fallback."""
     if not isinstance(t, int):
         return False
     width = c // scale
     tile = BLOCK_B * t * c * itemsize
     weights = 2 * c * c * itemsize
-    return width >= 64 and (6 * tile + 2 * weights) <= _VMEM_LIMIT // 3
+    return width >= 64 and (6 * tile + 2 * weights) <= vmem_budget_bytes() // 3
 
 
 @functools.partial(jax.jit, static_argnames=("dilation", "interpret"))
@@ -207,7 +208,7 @@ def fused_se_res2_block(x, w1, b1, s1, h1, cw, cb, cs, ch,
         out_specs=tile,
         out_shape=jax.ShapeDtypeStruct((b, t, c), io_dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
+            vmem_limit_bytes=vmem_budget_bytes()),
         interpret=interpret,
     )(*args)
     return out[:b0]
