@@ -66,8 +66,19 @@ def bench_one(name, iters=10):
     asps = batch * 2.0 / dt
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(variables))
+    # occupancy accounting: XLA's own FLOP count for the whole program
+    # (fbank + model), against the chip's measured bf16 matmul peak
+    # (scripts/probe_chip.py: 190 TFLOP/s on this v5e)
+    try:
+        ca = fn.lower(data).compile().cost_analysis()
+        gflop = float(ca.get("flops", 0.0)) / 1e9
+    except Exception:
+        gflop = 0.0
+    tfs = gflop / dt / 1e3 if gflop else 0.0
+    pct = 100.0 * tfs / 190.0 if tfs else 0.0
     print(f"{name:24s} b={batch:4d} {dt*1e3:8.2f} ms  {asps:10,.0f} a-s/s"
-          f"  ({n_params/1e6:.2f}M params)")
+          f"  ({n_params/1e6:.2f}M params, {gflop:,.0f} GFLOP,"
+          f" {tfs:.0f} TF/s = {pct:.0f}% peak)")
     return asps
 
 

@@ -64,8 +64,12 @@ def make_model(variant):
                             use_astp=variant != "notail",
                             use_mfa=variant != "notail")
     from wespeaker_tpu.models.ecapa_tdnn import ECAPA_TDNN
+    # evalbn differentiates the eval forward, whose inference-only fused
+    # kernels have no vjp — force the standard path for that variant
+    fused = {} if variant != "evalbn" else dict(fused_block=False,
+                                                fused_tail=False)
     return ECAPA_TDNN(channels=512, feat_dim=80, embed_dim=192,
-                      global_context_att=True)
+                      global_context_att=True, **fused)
 
 
 def main():

@@ -293,3 +293,117 @@ def test_process_data_stripe_layouts(monkeypatch):
     # columns), hosts 2/3 share rows 2-3 -> two stripes, shared
     expect([[0, 1], [0, 1], [2, 3], [2, 3]], 4,
            [(0, 2), (0, 2), (1, 2), (1, 2)])
+
+
+TP_TRAIN_WORKER = textwrap.dedent("""
+    import os, sys
+    for k in list(os.environ):
+        if "AXON" in k or k in ("PJRT_LIBRARY_PATH", "TPU_LIBRARY_PATH"):
+            del os.environ[k]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1]); coord = sys.argv[2]; root = sys.argv[3]
+    ckpt = sys.argv[4] if len(sys.argv) > 4 else None
+    from wespeaker_tpu.bin.train import train
+    kw = {}
+    if ckpt:
+        kw["checkpoint"] = ckpt
+    train(os.path.join(root, "tiny_tp.yaml"),
+          distributed_args={"coordinator": coord, "num_processes": 2,
+                            "process_id": pid}, **kw)
+    print(f"proc{pid} tp train done")
+""")
+
+
+@pytest.mark.slow
+def test_two_process_model_axis_train_save_resume(tmp_path):
+    """TP spanning hosts (mesh data=1, model=4 over 2 procs x 2 devices):
+    the arc-margin weight is row-sharded over 'model' with shards 2-3 only
+    on process 1, so a bare rank-0 jax.device_get would raise — the save
+    path must all-gather collectively (bin/train.py save_state). Verifies
+    train -> epoch save -> resume-from-checkpoint across both ranks."""
+    import json
+
+    import numpy as np
+
+    from wespeaker_tpu.data.wav_io import write_wav
+
+    rng = np.random.default_rng(0)
+    lines, u2s = [], []
+    for s in range(4):
+        for u in range(2):
+            key = f"s{s}u{u}"
+            path = tmp_path / f"{key}.wav"
+            t = np.arange(32000) / 16000.0
+            sig = 0.3 * np.sin(2 * np.pi * (200 + 150 * s) * t)
+            write_wav(path, (sig + 0.01 * rng.standard_normal(len(t))
+                             ).astype(np.float32), 16000)
+            lines.append(json.dumps(
+                {"key": key, "wav": str(path), "spk": f"s{s}"}))
+            u2s.append(f"{key} s{s}")
+    (tmp_path / "raw.list").write_text("\n".join(lines) + "\n")
+    (tmp_path / "utt2spk").write_text("\n".join(u2s) + "\n")
+    (tmp_path / "tiny_tp.yaml").write_text(f"""
+exp_dir: {tmp_path}/exp
+data_type: raw
+train_data: {tmp_path}/raw.list
+utt2spk: {tmp_path}/utt2spk
+num_epochs: 1
+log_batch_interval: 1
+parallel_args:
+  model: 4
+dataset_args:
+  batch_size: 4
+  num_frms: 100
+  speed_perturb: false
+  fbank_args:
+    num_mel_bins: 40
+model: ECAPA_TDNN
+model_args:
+  feat_dim: 40
+  embed_dim: 32
+  channels: 32
+projection_args:
+  project_type: arc_margin
+  scale: 32.0
+""")
+
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    script = tmp_path / "tp_worker.py"
+    script.write_text(TP_TRAIN_WORKER)
+
+    def run_pair(extra):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        coord = f"127.0.0.1:{port}"
+        procs = [subprocess.Popen(
+            [sys.executable, str(script), str(i), coord, str(tmp_path)]
+            + extra, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True) for i in range(2)]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=420)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+            outs.append(out)
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"proc{i} failed:\n{out[-4000:]}"
+            assert f"proc{i} tp train done" in out
+        return outs
+
+    run_pair([])
+    ckpt_path = tmp_path / "exp" / "models" / "model_0.ckpt"
+    assert ckpt_path.exists()
+    # the gathered save must contain the FULL (unsharded) margin weight
+    from wespeaker_tpu.utils.checkpoint import load_checkpoint
+    tree = load_checkpoint(str(ckpt_path))
+    assert tree["projection"]["weight"].shape[0] == 4  # num_class rows
+    outs = run_pair([str(ckpt_path)])
+    assert any("resumed from" in o for o in outs)

@@ -241,3 +241,113 @@ def test_fused_res2_kernel_matches_reference_chain():
     got = np.asarray(fused_res2_chain(x, kernels, biases, s, h, 3,
                                       interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("glob", [True, False])
+def test_mfa_astp_train_vjp_matches_autodiff(glob):
+    """Differentiable fused tail: Pallas forward (interpret) + structured
+    backward must match value and jax.grad of the jnp reference."""
+    from wespeaker_tpu.ops.mfa_astp_vjp import (mfa_astp_train,
+                                                mfa_astp_train_reference)
+
+    rng = np.random.default_rng(7)
+    b, t, c, a = 5, 30, 128, 128
+    d = 3 * c
+
+    def mk(*shape):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32) * 0.3)
+
+    x2, x3, x4 = mk(b, t, c), mk(b, t, c), mk(b, t, c)
+    wm, bm = mk(3 * c, d), mk(d)
+    k1 = mk(3 * d if glob else d, a)
+    b1, k2, b2 = mk(a), mk(a, d), mk(d)
+    args = (x2, x3, x4, wm, bm, k1, b1, k2, b2)
+
+    out = mfa_astp_train(*args, glob, True)
+    want = mfa_astp_train_reference(*args, glob=glob)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+    # scalar loss mixing both halves so mean and std grads are exercised
+    g_w = jnp.asarray(rng.normal(size=(b, 2 * d)).astype(np.float32))
+
+    def loss_fused(*a_):
+        return jnp.sum(mfa_astp_train(*a_, glob, True) * g_w)
+
+    def loss_ref(*a_):
+        return jnp.sum(mfa_astp_train_reference(*a_, glob=glob) * g_w)
+
+    grads = jax.grad(loss_fused, argnums=tuple(range(9)))(*args)
+    wants = jax.grad(loss_ref, argnums=tuple(range(9)))(*args)
+    names = ["x2", "x3", "x4", "wm", "bm", "k1", "b1", "k2", "b2"]
+    for nm, got, ref in zip(names, grads, wants):
+        if nm == "b2":
+            # analytically zero (softmax shift invariance): the custom bwd
+            # returns exact zeros, autodiff returns f32 noise
+            assert float(np.max(np.abs(np.asarray(got)))) == 0.0
+            assert float(np.max(np.abs(np.asarray(ref)))) < 1e-2
+            continue
+        scale = max(float(np.max(np.abs(np.asarray(ref)))), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(got) / scale, np.asarray(ref) / scale,
+            atol=5e-4, rtol=5e-4, err_msg=f"grad mismatch: {nm}")
+
+
+def test_fused_tail_train_module_matches_standard(monkeypatch):
+    """ECAPA training forward+grads with the differentiable fused tail
+    (interpret on CPU) must match autodiff through the same math on
+    identical variables — embeddings, param grads, BN batch-stat updates.
+
+    The oracle is the fused module with the kernel swapped for the jnp
+    reference (identical split-accumulation order): comparing against the
+    concat-based standard path instead is flaky, because a borderline relu
+    element can legitimately flip between the two f32 accumulation orders
+    and jump a full grad column. The standard-vs-fused *value* equivalence
+    is covered by test_fused_mfa_astp_module_matches_standard."""
+    import wespeaker_tpu.ops.mfa_astp_vjp as V
+    from wespeaker_tpu.models.ecapa_tdnn import ECAPA_TDNN
+
+    kw = dict(channels=128, feat_dim=24, embed_dim=32,
+              global_context_att=True)
+    fused = ECAPA_TDNN(**kw, fused_tail=True)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(4, 50, 24)).astype(np.float32))
+    variables = fused.init(jax.random.PRNGKey(0), x[:1, :32])
+    params, stats = variables["params"], variables["batch_stats"]
+    gw = jnp.asarray(rng.normal(size=(4, 32)).astype(np.float32))
+
+    def loss(p):
+        emb, mut = fused.apply({"params": p, "batch_stats": stats}, x,
+                               train=True, mutable=["batch_stats"])
+        return jnp.sum(emb * gw), (emb, mut["batch_stats"])
+
+    (l_f, (emb_f, bs_f)), g_f = jax.value_and_grad(
+        loss, has_aux=True)(params)
+
+    def ref_op(x2, x3, x4, wm, bm, k1, b1, k2, b2, glob, interpret):
+        return V.mfa_astp_train_reference(x2, x3, x4, wm, bm, k1, b1, k2,
+                                          b2, glob=glob)
+
+    monkeypatch.setattr(V, "mfa_astp_train", ref_op)
+    (l_s, (emb_s, bs_s)), g_s = jax.value_and_grad(
+        loss, has_aux=True)(params)
+
+    np.testing.assert_allclose(np.asarray(emb_f), np.asarray(emb_s),
+                               atol=1e-4, rtol=1e-4)
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(g_f))
+    for path, ref in jax.tree_util.tree_leaves_with_path(g_s):
+        got = flat_f[path]
+        name = jax.tree_util.keystr(path)
+        if "pool/linear2/bias" in name:
+            # analytically zero (softmax shift invariance); custom bwd is
+            # exact, autodiff is f32 noise
+            assert float(np.max(np.abs(np.asarray(got)))) == 0.0
+            continue
+        scale = max(float(np.max(np.abs(np.asarray(ref)))), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(got) / scale, np.asarray(ref) / scale,
+            atol=1e-3, rtol=1e-3, err_msg=f"grad mismatch at {name}")
+    for path, ref in jax.tree_util.tree_leaves_with_path(bs_s):
+        got = dict(jax.tree_util.tree_leaves_with_path(bs_f))[path]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-4)

@@ -266,12 +266,21 @@ def train(config: str, overrides=None, **kwargs):
     else:
         prefetch = Prefetcher(dataset.batches(local_batch))
     def save_state(path):
+        """Collective on every rank (the TP projection weight can span
+        hosts, making its shards non-addressable from rank 0 — device_get
+        alone would raise); only rank 0 writes."""
         variables = {"params": state.params["model"],
                      "batch_stats": state.batch_stats,
                      "projection": state.params["projection"]}
         if state.proj_stats:
             variables["projection_batch_stats"] = state.proj_stats
-        ckpt.save_checkpoint(path, jax.device_get(variables))
+        if any(isinstance(leaf, jax.Array) and not leaf.is_fully_addressable
+               for leaf in jax.tree_util.tree_leaves(variables)):
+            # re-jit to a replicated sharding: GSPMD inserts the
+            # all-gather over ICI and every host gets addressable copies
+            variables = jax.jit(lambda t: t, out_shardings=rep)(variables)
+        if rank == 0:
+            ckpt.save_checkpoint(path, jax.device_get(variables))
 
     # preemption safety: maintenance events / pod reschedules deliver
     # SIGTERM; finish the in-flight step, save preempt_model_<epoch>.ckpt
@@ -328,8 +337,7 @@ def train(config: str, overrides=None, **kwargs):
                     prof_active = False
                 jax.block_until_ready(state.params)
                 path = os.path.join(model_dir, f"preempt_model_{epoch}.ckpt")
-                if rank == 0:
-                    save_state(path)
+                save_state(path)  # collective: every rank participates
                 logger.info(f"SIGTERM: saved {path} at epoch {epoch} it "
                             f"{it}; resume with checkpoint={path}")
                 if hasattr(prefetch, "close"):
@@ -339,8 +347,10 @@ def train(config: str, overrides=None, **kwargs):
         # save every save_epoch_interval epochs plus the last num_avg epochs
         # (averaging window), reference train.py:252-257; the reference
         # counts epochs from 1, ours from 0, hence epoch + 1
-        if rank == 0 and ((epoch + 1) % save_interval == 0
-                          or epoch + 1 > num_epochs - num_avg):
+        # all ranks evaluate the (deterministic) condition and join the
+        # collective inside save_state; rank 0 writes
+        if ((epoch + 1) % save_interval == 0
+                or epoch + 1 > num_epochs - num_avg):
             save_state(os.path.join(model_dir, f"model_{epoch}.ckpt"))
     if prof_active:  # profile window extended past the last step
         jax.profiler.stop_trace()

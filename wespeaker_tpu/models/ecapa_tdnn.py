@@ -332,12 +332,23 @@ class ECAPA_TDNN(nn.Module):
                             name="layer4")(out3, mask, train)
 
         pooled = None
-        if (self._fused_enabled(self.fused_tail) and not train
-                and not return_frame_feat and self.pooling_func == "ASTP"):
+        # eval: auto-enabled on TPU (None -> on). train: explicit opt-in
+        # only — the differentiable tail's jnp backward currently measures
+        # slightly behind XLA's autodiff schedule (scripts/perf_tail_train
+        # A/B); revisit the default when the Pallas backward lands.
+        tail_on = (self.fused_tail is True if train
+                   else self._fused_enabled(self.fused_tail))
+        if (tail_on and not return_frame_feat
+                and self.pooling_func == "ASTP"
+                and (not train or mask is None)):
             from wespeaker_tpu.ops.mfa_astp_pallas import (fused_mfa_astp,
                                                            tail_kernel_fits)
-            if tail_kernel_fits(out2.shape[1], self.channels,
-                                out2.dtype.itemsize, d=512 * 3):
+            from wespeaker_tpu.ops.mfa_astp_vjp import (mfa_astp_train,
+                                                        tail_train_fits)
+            fits = (tail_train_fits if train else tail_kernel_fits)(
+                out2.shape[1], self.channels, out2.dtype.itemsize,
+                d=512 * 3)
+            if fits:
                 import jax as _jax
                 from wespeaker_tpu.models.pooling_layers import \
                     _K1ConvParams
@@ -349,10 +360,18 @@ class ECAPA_TDNN(nn.Module):
                     512 * 3, global_context_att=self.global_context_att,
                     name="pool")()
                 interpret = _jax.devices()[0].platform != "tpu"
-                pooled = fused_mfa_astp(
-                    out2, out3, out4, wm[0], bm, k1[0], b1, k2[0], b2,
-                    mask=mask, glob=self.global_context_att,
-                    interpret=interpret).astype(x.dtype)
+                if train:
+                    # differentiable fused tail (ops/mfa_astp_vjp.py):
+                    # exact in training — the tail carries no BatchNorm
+                    pooled = mfa_astp_train(
+                        out2, out3, out4, wm[0], bm, k1[0], b1, k2[0], b2,
+                        self.global_context_att,
+                        interpret).astype(x.dtype)
+                else:
+                    pooled = fused_mfa_astp(
+                        out2, out3, out4, wm[0], bm, k1[0], b1, k2[0], b2,
+                        mask=mask, glob=self.global_context_att,
+                        interpret=interpret).astype(x.dtype)
         if pooled is None:
             out = jnp.concatenate([out2, out3, out4], axis=-1)
             out = conv1d(512 * 3, 1, name="conv")(out)
