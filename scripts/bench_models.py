@@ -70,7 +70,9 @@ def bench_one(name, iters=10):
     # (fbank + model), against the chip's measured bf16 matmul peak
     # (scripts/probe_chip.py: 190 TFLOP/s on this v5e)
     try:
-        ca = fn.lower(data).compile().cost_analysis()
+        # cost analysis on the lowered module — compiling a second
+        # standalone program through the tunnel would double bench time
+        ca = fn.lower(data).cost_analysis()
         gflop = float(ca.get("flops", 0.0)) / 1e9
     except Exception:
         gflop = 0.0

@@ -160,3 +160,16 @@ def test_proto_roundtrip():
     assert m.graph.nodes[1].attrs["perm"] == [1, 0]
     np.testing.assert_array_equal(m.graph.initializers[0].array, w)
     assert m.graph.inputs[0].dims == ["B", 3]
+
+
+@pytest.mark.parametrize("name", ["redimnet", "redimnet2"])
+def test_redimnet_roundtrip(name):
+    """ReDimNet(2): learned per-stage input weighting (softmax stage
+    mixing), 1d<->2d dim reshapes, and the max-stride time truncation
+    (an explicit lax.slice so the op sequence is probe-stable)."""
+    from wespeaker_tpu.models.redimnet import ReDimNetB0
+    from wespeaker_tpu.models.redimnet2 import ReDimNet2B0
+    model = {"redimnet": lambda: ReDimNetB0(feat_dim=72, embed_dim=16),
+             "redimnet2": lambda: ReDimNet2B0(feat_dim=72, embed_dim=16),
+             }[name]()
+    _convert_and_check(model, 72)

@@ -96,3 +96,41 @@ def test_stablehlo_export_roundtrip(tmp_path):
     x2 = jnp.asarray(np.random.default_rng(1).normal(
         size=(1, 123, 40)).astype(np.float32))
     assert np.asarray(fn(x2)).shape == (1, 32)
+
+
+def test_mnn_export_handoff(tmp_path, capsys):
+    """--format mnn: emits the ONNX input and drives MNNConvert when
+    present (reference wespeaker/bin/export_mnn.py:66-77); in this
+    toolchain (no MNN) it must still write the ONNX artifact and print
+    the exact conversion command."""
+    from wespeaker_tpu.bin.export_model import export_mnn
+    from wespeaker_tpu.export import onnx_numpy
+    from wespeaker_tpu.models import get_speaker_model
+    from wespeaker_tpu.utils.checkpoint import save_checkpoint
+
+    configs = {"model": "ECAPA_TDNN",
+               "model_args": {"feat_dim": 40, "embed_dim": 32,
+                              "channels": 32}}
+    model = get_speaker_model("ECAPA_TDNN")(**configs["model_args"])
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 40)))
+    ckpt = tmp_path / "m.ckpt"
+    save_checkpoint(str(ckpt), {"params": variables["params"],
+                                "batch_stats": variables["batch_stats"]})
+    cfg_path = tmp_path / "c.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(configs, f)
+
+    out = tmp_path / "model.mnn"
+    res, cmd = export_mnn(str(cfg_path), str(ckpt), str(out),
+                          num_frames=200)
+    onnx_path = tmp_path / "model.onnx"
+    assert onnx_path.exists()
+    assert cmd[:4] == ["MNNConvert", "-f", "ONNX", "--modelFile"]
+    assert "--saveStaticModel" in cmd  # num_frames > 0, reference :68-70
+    # the emitted ONNX input actually runs
+    feats = np.random.default_rng(0).normal(size=(1, 50, 40)) \
+        .astype(np.float32)
+    got = onnx_numpy.run(onnx_path.read_bytes(), {"feats": feats})["embs"]
+    want = np.asarray(model.apply(variables, jnp.asarray(feats),
+                                  train=False))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)

@@ -88,6 +88,37 @@ def export_onnx(config, checkpoint_path, out_path, mean_vec_path=None,
     return out_path
 
 
+def export_mnn(config, checkpoint_path, out_path, mean_vec_path=None,
+               overrides=None, num_frames: int = 0, **kwargs):
+    """Mobile deployment artifact: emit the ONNX model, then drive
+    MNNConvert over it — the reference handoff
+    (wespeaker/bin/export_mnn.py:66-77; --saveStaticModel when a fixed
+    num_frames is requested). When MNNConvert is not on PATH (it is not
+    part of this toolchain), the ONNX input is still written next to the
+    target and the exact conversion command is printed/returned so the
+    handoff can run on any machine with MNN installed."""
+    import shutil
+    import subprocess
+
+    onnx_path = (out_path[:-4] if out_path.endswith(".mnn")
+                 else out_path) + ".onnx"
+    export_onnx(config, checkpoint_path, onnx_path, mean_vec_path,
+                overrides, **kwargs)
+    cmd = ["MNNConvert", "-f", "ONNX", "--modelFile", onnx_path,
+           "--MNNModel", out_path, "--bizCode", "MNN"]
+    if num_frames > 0:
+        cmd.append("--saveStaticModel")
+    if shutil.which("MNNConvert") is None:
+        print(f"MNNConvert not found; ONNX written to {onnx_path}. "
+              "Convert with:\n  " + " ".join(cmd))
+        return onnx_path, cmd
+    subprocess.run(cmd, check=True)
+    subprocess.run(["MNNConvert", "-f", "MNN", "--modelFile", out_path,
+                    "--info"], check=False)
+    print("Exported MNN model to", out_path)
+    return out_path, cmd
+
+
 def main():
     from wespeaker_tpu.utils.jax_cache import enable_persistent_cache
     enable_persistent_cache()
@@ -97,12 +128,18 @@ def main():
     ap.add_argument("--output_model", required=True)
     ap.add_argument("--mean_vec", default=None)
     ap.add_argument("--format", default="stablehlo",
-                    choices=["stablehlo", "onnx"])
+                    choices=["stablehlo", "onnx", "mnn"])
+    ap.add_argument("--num_frames", type=int, default=0,
+                    help="mnn: fix T and pass --saveStaticModel")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
     if args.format == "onnx":
         export_onnx(args.config, args.checkpoint, args.output_model,
                     args.mean_vec, args.overrides)
+    elif args.format == "mnn":
+        export_mnn(args.config, args.checkpoint, args.output_model,
+                   args.mean_vec, args.overrides,
+                   num_frames=args.num_frames)
     else:
         export_stablehlo(args.config, args.checkpoint, args.output_model,
                          args.mean_vec, args.overrides)

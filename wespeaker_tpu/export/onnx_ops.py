@@ -58,6 +58,17 @@ def _rsqrt(ctx):
     return ctx.b.add("Reciprocal", [ctx.b.add("Sqrt", ctx.ins)])
 
 
+@emitter("square")
+def _square(ctx):
+    return ctx.b.add("Mul", [ctx.ins[0], ctx.ins[0]])
+
+
+@emitter("erfc")
+def _erfc(ctx):
+    one = ctx.b.const(np.float32(1.0))
+    return ctx.b.add("Sub", [one, ctx.b.add("Erf", ctx.ins)])
+
+
 @emitter("integer_pow")
 def _integer_pow(ctx):
     y = ctx.eqn.params["y"]

@@ -193,7 +193,11 @@ class ReDimNet2Backbone(nn.Module):
             stt_cum *= st
             max_stt = max(max_stt, stt_cum)
         t_full = (x2d.shape[2] // max_stt) * max_stt
-        x2d = x2d[:, :, :t_full]
+        # explicit lax.slice: jnp indexing elides a full-extent slice at
+        # trace time, which makes the op sequence shape-dependent and
+        # breaks ONNX export probing (export/jaxpr_to_onnx.py)
+        import jax as _jax
+        x2d = _jax.lax.slice_in_dim(x2d, 0, t_full, axis=2)
 
         def agg(outs, widx, n):
             w = self.param(f"{widx}_w", nn.initializers.zeros,
