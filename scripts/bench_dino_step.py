@@ -1,0 +1,106 @@
+"""DINO multi-crop pretraining step throughput (VERDICT r3 item 6).
+
+Reference config examples/voxceleb/v3/dino/conf/ecapa_dino.yaml
+(= reference ssl/bin/train_dino.py:43-255 semantics): ECAPA-GLOB-c512
+backbone + 65536-dim DINO head (BN), 2 global 3 s crops + 4 local 2 s
+crops per utterance, SGD, EMA teacher, centering. The timed unit is the
+real per-batch work: device fbank of all six crop tensors + student fwd
+(global+local) + teacher fwd + loss/bwd + clip + EMA + center update,
+one jitted program, bf16 AMP.
+
+Throughput is reported as crop-audio-seconds/s/chip (all audio actually
+processed: batch x (2x3 + 4x2) = 14 s per utterance) plus utterances/s.
+
+Usage: python scripts/bench_dino_step.py [batch]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import wespeaker_tpu.ssl.dino as D
+from wespeaker_tpu.frontend import FbankConfig
+from wespeaker_tpu.models.ecapa_tdnn import ECAPA_TDNN
+from wespeaker_tpu.ssl.featurize import make_ssl_featurize
+
+SR = 16000
+G_SEC, L_SEC = 3.0, 2.0
+N_G, N_L = 2, 4
+
+
+def build(batch, amp=True):
+    backbone = ECAPA_TDNN(channels=512, feat_dim=80, embed_dim=192,
+                          global_context_att=True)
+    head = D.DINOHead(out_dim=65536, hidden_dim=2048, bottleneck_dim=256,
+                      use_bn=True)
+    epoch_iter = 1092009 // batch
+    lr_fn = D.cosine_scheduler(0.2 * batch / 256, 5e-5, 150, epoch_iter,
+                               warmup_epochs=20)
+    mom_fn = D.cosine_scheduler(0.996, 1.0, 150, epoch_iter)
+    temp_fn = D.teacher_temp_schedule(0.04, 0.07, 150, epoch_iter)
+    tx = optax.inject_hyperparams(optax.sgd)(learning_rate=0.0,
+                                             momentum=0.9)
+    cfg = D.DINOConfig(out_dim=65536, n_global=N_G, n_local=N_L,
+                       freeze_last_layer_iters=epoch_iter, clip_grad=3.0)
+    apply_fn = D.make_apply_fn(backbone, head)
+    step_fn = D.make_dino_train_step(
+        apply_fn, tx, lr_fn, mom_fn, temp_fn, cfg,
+        compute_dtype=jnp.bfloat16 if amp else jnp.float32)
+    state = D.init_dino_state(backbone, head, tx, jax.random.PRNGKey(0),
+                              feat_dim=80, embed_dim=192)
+    featurize = make_ssl_featurize(
+        FbankConfig(dither=0.0), {"aug_prob": 0.0, "spec_aug": False}, 0)
+    return step_fn, state, featurize
+
+
+def main():
+    from wespeaker_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    iters = 15
+
+    step_fn, state, featurize = build(batch)
+    rng = np.random.default_rng(0)
+    g_wav = jnp.asarray(rng.uniform(
+        -0.5, 0.5, (N_G * batch, int(G_SEC * SR))).astype(np.float32))
+    l_wav = jnp.asarray(rng.uniform(
+        -0.5, 0.5, (N_L * batch, int(L_SEC * SR))).astype(np.float32))
+    data = {"g": g_wav, "l": l_wav}
+
+    def body(_, st):
+        b = {"global_feat": featurize(data["g"]),
+             "local_feat": featurize(data["l"])}
+        st2, _m = step_fn(st, b)
+        return st2
+
+    loop = jax.jit(lambda st, n: jax.lax.fori_loop(0, n, body, st))
+    state = jax.device_put(state)
+
+    def run(n):
+        t0 = time.perf_counter()
+        st = loop(state, n)
+        _ = float(st.step)
+        return time.perf_counter() - t0
+
+    run(2)
+    lo = min(run(3) for _ in range(2))
+    hi = min(run(3 + iters) for _ in range(2))
+    dt = max(hi - lo, 1e-9) / iters
+    crop_audio = batch * (N_G * G_SEC + N_L * L_SEC)
+    print(json.dumps({
+        "batch": batch, "step_ms": round(dt * 1e3, 2),
+        "crop_audio_s_per_s_per_chip": round(crop_audio / dt, 1),
+        "utts_per_s": round(batch / dt, 1),
+        "config": "ECAPA_GLOB_c512 dino 2x3s+4x2s head65536 bf16"}))
+
+
+if __name__ == "__main__":
+    main()

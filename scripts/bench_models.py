@@ -70,10 +70,14 @@ def bench_one(name, iters=10):
     # (fbank + model), against the chip's measured bf16 matmul peak
     # (scripts/probe_chip.py: 190 TFLOP/s on this v5e)
     try:
-        # cost analysis on the lowered module — compiling a second
-        # standalone program through the tunnel would double bench time
-        ca = fn.lower(data).cost_analysis()
+        # lowered-module analysis is free; this backend sometimes returns
+        # no flops there, then pay the standalone compile for the count
+        lowered = fn.lower(data)
+        ca = lowered.cost_analysis() or {}
         gflop = float(ca.get("flops", 0.0)) / 1e9
+        if not gflop:
+            ca = lowered.compile().cost_analysis()
+            gflop = float(ca.get("flops", 0.0)) / 1e9
     except Exception:
         gflop = 0.0
     tfs = gflop / dt / 1e3 if gflop else 0.0

@@ -386,7 +386,7 @@ def run_torch_side(root):
 
 
 def run_ours_side(root):
-    from wespeaker_tpu.backend.metrics import read_vec_scp_dict
+    from wespeaker_tpu.utils.kaldi_io import read_vec_scp_dict
 
     cfg_path = os.path.join(root, "ours.yaml")
     with open(cfg_path, "w") as f:
