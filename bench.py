@@ -72,6 +72,10 @@ def main():
     spread = (max(dts) - min(dts)) / min(dts)
 
     train_value, train_spread = bench_train_step()
+    try:
+        dino_value = bench_dino_step()
+    except Exception:
+        dino_value = None  # never break the one-line driver contract
     print(json.dumps({
         "metric": "ecapa_tdnn_glob_c512_extract_audio_s_per_s_per_chip",
         "value": round(value, 1),
@@ -82,6 +86,8 @@ def main():
             "train_step_audio_s_per_s_per_chip": round(train_value, 1),
             "train_spread_pct": round(train_spread * 100, 1),
             "train_config": "ECAPA_GLOB_c512 b256 bf16 arcmargin17982 sgd",
+            "dino_crop_audio_s_per_s_per_chip": dino_value,
+            "dino_config": "ECAPA_GLOB_c512 b64 2x3s+4x2s head65536 bf16",
         },
     }))
 
@@ -147,6 +153,45 @@ def bench_train_step(batch=256, iters=20):
     dts = [slope() for _ in range(3)]  # best-of-3, as for extraction
     spread = (max(dts) - min(dts)) / min(dts)
     return batch * CHUNK_SECONDS / min(dts), spread
+
+
+def bench_dino_step(batch=64, iters=10):
+    """DINO multi-crop pretraining step (reference voxceleb/v3/dino crop
+    config) — the SSL-training throughput record per round; full harness
+    in scripts/bench_dino_step.py."""
+    import os
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    from bench_dino_step import G_SEC, L_SEC, N_G, N_L, SR, build
+
+    step_fn, state, featurize = build(batch)
+    rng = np.random.default_rng(0)
+    data = {"g": jnp.asarray(rng.uniform(
+        -0.5, 0.5, (N_G * batch, int(G_SEC * SR))).astype(np.float32)),
+        "l": jnp.asarray(rng.uniform(
+            -0.5, 0.5, (N_L * batch, int(L_SEC * SR))).astype(np.float32))}
+
+    def body(_, st):
+        b = {"global_feat": featurize(data["g"]),
+             "local_feat": featurize(data["l"])}
+        st2, _m = step_fn(st, b)
+        return st2
+
+    loop = jax.jit(lambda st, n: jax.lax.fori_loop(0, n, body, st))
+    state = jax.device_put(state)
+
+    def run(n):
+        t0 = time.perf_counter()
+        st = loop(state, n)
+        _ = float(st.step)
+        return time.perf_counter() - t0
+
+    run(2)
+    lo = min(run(3) for _ in range(2))
+    hi = min(run(3 + iters) for _ in range(2))
+    dt = max(hi - lo, 1e-9) / iters
+    return round(batch * (N_G * G_SEC + N_L * L_SEC) / dt, 1)
 
 
 if __name__ == "__main__":

@@ -24,6 +24,8 @@ SPECS = {
     "ECAPA_TDNN_GLOB_c1024": ("ECAPA_TDNN_GLOB_c1024",
                               {"feat_dim": 80, "embed_dim": 192}, 512),
     "CAMPPlus": ("CAMPPlus", {"feat_dim": 80, "embed_dim": 192}, 512),
+    "CAMPPlus_fused": ("CAMPPlus", {"feat_dim": 80, "embed_dim": 192,
+                                    "fused_blocks": True}, 512),
     "ResNet34": ("ResNet34", {"feat_dim": 80, "embed_dim": 256}, 512),
     "ResNet152": ("ResNet152", {"feat_dim": 80, "embed_dim": 256}, 256),
     "ResNet293": ("ResNet293", {"feat_dim": 80, "embed_dim": 256}, 128),

@@ -351,3 +351,47 @@ def test_fused_tail_train_module_matches_standard(monkeypatch):
         got = dict(jax.tree_util.tree_leaves_with_path(bs_f))[path]
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_fused_cam_dense_block_module_matches_standard():
+    """CAMPPlus with the fused dense-block kernel (interpret on CPU) must
+    equal the standard flax path on identical variables — unmasked and
+    masked padded buckets."""
+    from wespeaker_tpu.models.campplus import CAMPPlus
+
+    std = CAMPPlus(feat_dim=40, embed_dim=32, fused_blocks=False)
+    fused = CAMPPlus(feat_dim=40, embed_dim=32, fused_blocks=True)
+    rng = np.random.default_rng(0)
+    x224 = jnp.asarray(rng.normal(size=(2, 224, 40)).astype(np.float32))
+    variables = std.init(jax.random.PRNGKey(0), x224[:, :64])
+    import jax as _j
+    bs = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * _j.random.normal(_j.random.PRNGKey(1), a.shape),
+        variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": bs}
+
+    def cos(a, b):
+        return float(np.mean(np.sum(a * b, -1) / np.maximum(
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1), 1e-9)))
+
+    # T'=112 is sublane-aligned: no in-kernel pad path, tight bound
+    want = np.asarray(std.apply(variables, x224))
+    got = np.asarray(fused.apply(variables, x224))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-4)
+    # T'=110 exercises the alignment-pad path (iota-masked context +
+    # zeroed pad-frame y); the masked-mean reformulation reorders f32
+    # sums, which compounds through 52 dense layers -> cosine-level bound
+    x220 = x224[:, :220]
+    want = np.asarray(std.apply(variables, x220))
+    got = np.asarray(fused.apply(variables, x220))
+    assert cos(got, want) > 0.99999, cos(got, want)
+    np.testing.assert_allclose(got, want, atol=3e-3, rtol=3e-3)
+    # masked padded bucket: pad frames excluded from the global and
+    # segment context means exactly like the standard path
+    m = np.ones((2, 220), np.float32)
+    m[0, 150:] = 0.0
+    mask = jnp.asarray(m)
+    want_m = np.asarray(std.apply(variables, x220, mask=mask))
+    got_m = np.asarray(fused.apply(variables, x220, mask=mask))
+    assert cos(got_m, want_m) > 0.99999, cos(got_m, want_m)
+    np.testing.assert_allclose(got_m, want_m, atol=3e-3, rtol=3e-3)

@@ -109,15 +109,116 @@ class CAMDenseTDNNLayer(nn.Module):
                         name="cam_layer")(h, mask, train)
 
 
+class _ConvP(nn.Module):
+    """Parameter holder matching conv1d's tree without the compute."""
+    shape: tuple  # (k, c_in, c_out)
+    use_bias: bool = True
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 self.shape)
+        if self.use_bias:
+            self.bias = self.param("bias", nn.initializers.zeros,
+                                   (self.shape[-1],))
+
+    def __call__(self):
+        return (self.kernel, self.bias) if self.use_bias \
+            else (self.kernel,)
+
+
+class _CAMGateParams(nn.Module):
+    """Parameter tree of CAMLayer (linear_local/linear1/linear2)."""
+    bn_channels: int
+    out_channels: int
+    kernel_size: int
+
+    def setup(self):
+        self.linear_local = _ConvP(
+            (self.kernel_size, self.bn_channels, self.out_channels),
+            use_bias=False, name="linear_local")
+        self.linear1 = _ConvP((1, self.bn_channels, self.bn_channels // 2),
+                              name="linear1")
+        self.linear2 = _ConvP((1, self.bn_channels // 2, self.out_channels),
+                              name="linear2")
+
+    def __call__(self):
+        return (self.linear_local()[0], *self.linear1(), *self.linear2())
+
+
+class _CAMLayerParams(nn.Module):
+    """Parameter tree of CAMDenseTDNNLayer for the fused block kernel."""
+    in_channels: int
+    bn_channels: int
+    out_channels: int
+    kernel_size: int
+
+    def setup(self):
+        from wespeaker_tpu.models.ecapa_tdnn import _BNParams
+        self.nonlinear1_bn = _BNParams(self.in_channels,
+                                       name="nonlinear1_bn")
+        self.linear1 = _ConvP((1, self.in_channels, self.bn_channels),
+                              use_bias=False, name="linear1")
+        self.nonlinear2_bn = _BNParams(self.bn_channels,
+                                       name="nonlinear2_bn")
+        self.cam_layer = _CAMGateParams(self.bn_channels, self.out_channels,
+                                        self.kernel_size, name="cam_layer")
+
+    def __call__(self):
+        def fold(bn):
+            gamma, beta, mean, var = bn()
+            s = gamma / jnp.sqrt(var + 1e-5)
+            return s, beta - mean * s
+
+        s1, t1 = fold(self.nonlinear1_bn)
+        s2, t2 = fold(self.nonlinear2_bn)
+        (w1,) = (self.linear1(),)
+        return (s1, t1, w1[0][0], s2, t2, *self.cam_layer())
+
+
 class CAMDenseTDNNBlock(nn.Module):
     num_layers: int
     out_channels: int
     bn_channels: int
     kernel_size: int
     dilation: int = 1
+    fused: Optional[bool] = None  # Pallas whole-block kernel (inference)
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
+        # opt-in (fused=True), not auto: the kernel wins a measured +4%
+        # end-to-end at the flagship shape but costs a ~3 min Mosaic
+        # compile per (T, C) shape — wrong default for multi-bucket
+        # extraction, right for fixed-shape serving (docs/PERF.md).
+        if self.fused and not train and self.out_channels == 32:
+            from wespeaker_tpu.ops.cam_block_pallas import (
+                cam_block_fits, fused_cam_dense_block)
+            if cam_block_fits(x.shape[1], x.shape[-1], self.num_layers,
+                              itemsize=x.dtype.itemsize):
+                import jax as _jax
+                c0 = x.shape[-1]
+                cend = c0 + 32 * self.num_layers
+                cols = [[] for _ in range(10)]
+                for i in range(self.num_layers):
+                    parts = _CAMLayerParams(
+                        c0 + 32 * i, self.bn_channels, self.out_channels,
+                        self.kernel_size, name=f"tdnnd{i + 1}")()
+                    s1, t1, w1, s2, t2, w2, wc1, bc1, wc2, bc2 = parts
+                    padw = cend - s1.shape[0]
+                    cols[0].append(jnp.pad(s1, (0, padw)))
+                    cols[1].append(jnp.pad(t1, (0, padw)))
+                    cols[2].append(jnp.pad(w1, ((0, padw), (0, 0))))
+                    cols[3].append(s2)
+                    cols[4].append(t2)
+                    cols[5].append(w2)
+                    cols[6].append(wc1[0])
+                    cols[7].append(bc1)
+                    cols[8].append(wc2[0])
+                    cols[9].append(bc2)
+                stacked = [jnp.stack(c) for c in cols]
+                interpret = _jax.devices()[0].platform != "tpu"
+                return fused_cam_dense_block(
+                    x, *stacked, dilation=self.dilation, mask=mask,
+                    interpret=interpret)
         for i in range(self.num_layers):
             y = CAMDenseTDNNLayer(self.out_channels, self.bn_channels,
                                   self.kernel_size, 1, self.dilation,
@@ -203,6 +304,7 @@ class XVectorTrunk(nn.Module):
     bn_size: int
     embed_dim: int
     pooling_func: str
+    fused_blocks: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False,
@@ -216,6 +318,7 @@ class XVectorTrunk(nn.Module):
                 zip((12, 24, 16), (3, 3, 3), (1, 2, 2))):
             x = CAMDenseTDNNBlock(num_layers, self.growth_rate,
                                   self.bn_size * self.growth_rate, ks, dil,
+                                  fused=self.fused_blocks,
                                   name=f"block{i + 1}")(x, mask, train)
             channels += num_layers * self.growth_rate
             x = TransitLayer(channels // 2, name=f"transit{i + 1}")(x, train)
@@ -235,6 +338,10 @@ class CAMPPlus(nn.Module):
     growth_rate: int = 32
     bn_size: int = 4
     init_channels: int = 128
+    # Fused Pallas dense-block kernel (ops/cam_block_pallas.py) — opt-in
+    # for fixed-shape inference serving (+4% end-to-end, ~3 min Mosaic
+    # compile per shape); parameter trees are identical either way.
+    fused_blocks: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None,
@@ -242,4 +349,5 @@ class CAMPPlus(nn.Module):
         h = FCM(feat_dim=self.feat_dim, name="head")(x, train)
         return XVectorTrunk(self.init_channels, self.growth_rate,
                             self.bn_size, self.embed_dim, self.pooling_func,
+                            fused_blocks=self.fused_blocks,
                             name="xvector")(h, mask, train, return_frame_feat)

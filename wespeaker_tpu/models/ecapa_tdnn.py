@@ -303,10 +303,13 @@ class ECAPA_TDNN(nn.Module):
     pooling_func: str = "ASTP"
     global_context_att: bool = False
     emb_bn: bool = False
-    # Fused Pallas inference kernels. None = auto: enabled on TPU backends,
-    # off elsewhere (interpret mode on CPU is correct but slow). Guards
-    # fall back to the standard path whenever shapes don't fit; parameter
-    # trees are identical either way.
+    # Fused Pallas kernels. None = auto: enabled on TPU backends for
+    # inference, off elsewhere (interpret mode on CPU is correct but
+    # slow). Guards fall back to the standard path whenever shapes don't
+    # fit; parameter trees are identical either way. fused_tail=True
+    # additionally enables the differentiable tail (ops/mfa_astp_vjp.py)
+    # in training — measured at parity with XLA's schedule in the full
+    # step, so it is opt-in (docs/PERF.md round-3 analysis).
     fused_res2: bool = False  # Pallas Res2 chain (inference only)
     fused_block: Optional[bool] = None  # whole-SE-Res2-block kernel
     fused_tail: Optional[bool] = None  # MFA-conv+ASTP kernel
