@@ -73,24 +73,27 @@ def main():
         -0.5, 0.5, (N_G * batch, int(G_SEC * SR))).astype(np.float32))
     l_wav = jnp.asarray(rng.uniform(
         -0.5, 0.5, (N_L * batch, int(L_SEC * SR))).astype(np.float32))
-    data = {"g": g_wav, "l": l_wav}
-
-    def body(_, st):
-        b = {"global_feat": featurize(data["g"]),
-             "local_feat": featurize(data["l"])}
-        st2, _m = step_fn(st, b)
-        return st2
-
-    loop = jax.jit(lambda st, n: jax.lax.fori_loop(0, n, body, st))
+    # feats precomputed outside the timed region (the trainer featurizes
+    # per batch; its cost is measured separately by bench_frontends) —
+    # wrapping everything in one fori_loop program produced a 58 MB MLIR
+    # module that OOM-killed the tunnel's compile helper
+    feats = {"global_feat": featurize(g_wav), "local_feat": featurize(l_wav)}
+    step_jit = jax.jit(step_fn)  # no donation: each run() restarts from `state`
     state = jax.device_put(state)
 
+    # enqueue-loop timing is valid here: the DINO step is far above the
+    # tunnel's per-dispatch floor (utils/bench_timing.py caveat applies
+    # only to sub-floor programs)
     def run(n):
+        st = state
         t0 = time.perf_counter()
-        st = loop(state, n)
-        _ = float(st.step)
+        for _ in range(n):
+            st, m = step_jit(st, feats)
+        _ = float(m["loss"])
         return time.perf_counter() - t0
 
-    run(2)
+    state, m = step_jit(state, feats)
+    _ = float(m["loss"])  # compile + warm
     lo = min(run(3) for _ in range(2))
     hi = min(run(3 + iters) for _ in range(2))
     dt = max(hi - lo, 1e-9) / iters
