@@ -57,16 +57,11 @@ def bench(name, iters=5):
         featurize_fn=built.featurize_eval))
     wav = jnp.asarray(np.random.default_rng(0).uniform(
         -0.5, 0.5, (b, n)).astype(np.float32))
-    out = embed_fn(variables, {"wav": wav})
-    jax.block_until_ready(out)
-    for _ in range(2):
-        out = embed_fn(variables, {"wav": wav})
-    float(jnp.sum(out.astype(jnp.float32)))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = embed_fn(variables, {"wav": wav})
-    float(jnp.sum(out.astype(jnp.float32)))
-    dt = (time.perf_counter() - t0) / iters
+    # on-device loop timing: immune to the tunnel dispatch floor, which
+    # inflated the round-1 enqueue-loop numbers for sub-floor programs
+    from wespeaker_tpu.utils.bench_timing import time_fn_on_device
+    dt = time_fn_on_device(lambda d: embed_fn(variables, d),
+                           {"wav": wav}, iters=2 * iters)
     params = sum(int(np.prod(p.shape))
                  for p in jax.tree_util.tree_leaves(variables))
     print(f"{name:14s} b={b:3d} {dt*1e3:8.2f} ms  "

@@ -127,9 +127,12 @@ def tail_kernel_fits(t, c: int, itemsize: int = 2, d=None) -> bool:
     (t, d) hidden map and ~3 f32-sized temporaries (logits, softmax,
     stats products). c is the per-block channel count, d the MFA output
     width (the reference fixes d=1536 for every ECAPA size). Symbolic t
-    (jax.export) routes to the fallback. The budget is device-derived
-    (ops/tpu_info.py): small-VMEM TPU generations take the fallback."""
-    if not isinstance(t, int):
+    (jax.export) routes to the fallback, as does a sublane-misaligned t
+    (t % 8 != 0, e.g. the 99-frame WavLM composite or 198-frame 2 s
+    buckets): Mosaic rejects those with "unsupported shape cast". The
+    budget is device-derived (ops/tpu_info.py): small-VMEM TPU
+    generations take the fallback."""
+    if not isinstance(t, int) or t % 8:
         return False
     d = d or 3 * c
     vmem = (2 * 3 * BLOCK_B * t * c * itemsize   # pipelined x2/x3/x4 tiles

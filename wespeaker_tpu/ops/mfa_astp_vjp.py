@@ -394,7 +394,7 @@ def _bwd_rule(glob, interpret, res, g):
 def _bwd_kernel_fits(res):
     x2, _x3, _x4, wm, _k1, _b2, _k2, _pl, _h, _att, _cs = res
     t = x2.shape[1]
-    if not isinstance(t, int):
+    if not isinstance(t, int) or t % 8:
         return False
     c = x2.shape[-1]
     d = wm.shape[-1]

@@ -105,7 +105,7 @@ def kernel_fits(t: int, c: int, scale: int, itemsize: int = 4) -> bool:
     temporaries resident in VMEM and wants the group width on full MXU
     lanes; outside that envelope the jnp fallback wins. Symbolic t (from
     jax.export) always routes to the fallback."""
-    if not isinstance(t, int):
+    if not isinstance(t, int) or t % 8:
         return False
     width = c // scale
     tile = BLOCK_B * t * c * itemsize

@@ -145,8 +145,9 @@ def block_kernel_fits(t, c: int, scale: int, itemsize: int = 2) -> bool:
     """VMEM envelope: one (BLOCK_B, t, c) tile plus two temporaries of the
     same size, an f32 accumulator, and the (c, c) weights. The budget is
     device-derived (ops/tpu_info.py): small-VMEM TPU generations take the
-    fallback. Symbolic t (jax.export) routes to the fallback."""
-    if not isinstance(t, int):
+    fallback. Symbolic t (jax.export) and sublane-misaligned t (t % 8,
+    Mosaic "unsupported shape cast") route to the fallback."""
+    if not isinstance(t, int) or t % 8:
         return False
     width = c // scale
     tile = BLOCK_B * t * c * itemsize
