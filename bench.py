@@ -72,17 +72,28 @@ def main():
     spread = (max(dts) - min(dts)) / min(dts)
 
     train_value, train_spread = bench_train_step()
-    # The DINO step's bare compile takes >15 min through the tunnel's AOT
-    # helper (and its fori-loop form OOM-killed it), so the SSL number is
-    # opt-in: WESPEAKER_BENCH_DINO=1. The measured value is recorded in
-    # docs/PERF.md; scripts/bench_dino_step.py reproduces it.
+    # The DINO step compiles through the tunnel in ~4 min cold (its
+    # fori-loop form OOM-killed the AOT helper; the bare step with
+    # featurize hoisted out lowers to 1.4 MB of MLIR and is fine) and
+    # hits the persistent cache warm. Default on; WESPEAKER_BENCH_DINO=0
+    # opts out, and an alarm bounds a cold cache miss so the one-line
+    # driver contract always prints. scripts/bench_dino_step.py
+    # reproduces the number standalone.
     import os as _os
+    import signal as _signal
     dino_value = None
-    if _os.environ.get("WESPEAKER_BENCH_DINO"):
+    if _os.environ.get("WESPEAKER_BENCH_DINO", "1") != "0":
+        prev = _signal.signal(
+            _signal.SIGALRM,
+            lambda *_: (_ for _ in ()).throw(TimeoutError("dino bench")))
         try:
+            _signal.alarm(420)
             dino_value = bench_dino_step()
-        except Exception:
+        except BaseException:
             dino_value = None  # never break the one-line driver contract
+        finally:
+            _signal.alarm(0)
+            _signal.signal(_signal.SIGALRM, prev)
     print(json.dumps({
         "metric": "ecapa_tdnn_glob_c512_extract_audio_s_per_s_per_chip",
         "value": round(value, 1),
