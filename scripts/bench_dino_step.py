@@ -78,13 +78,49 @@ def main():
     # wrapping everything in one fori_loop program produced a 58 MB MLIR
     # module that OOM-killed the tunnel's compile helper
     feats = {"global_feat": featurize(g_wav), "local_feat": featurize(l_wav)}
-    step_jit = jax.jit(step_fn)  # no donation: each run() restarts from `state`
     state = jax.device_put(state)
 
-    # enqueue-loop timing is valid here: the DINO step is far above the
-    # tunnel's per-dispatch floor (utils/bench_timing.py caveat applies
-    # only to sub-floor programs)
-    def run(n):
+    # Floor-proof timing (VERDICT r3 item 1): the round-3 enqueue-loop
+    # number (39.85 ms) sat at the documented ~40 ms tunnel dispatch floor,
+    # so it could not be distinguished from transport. Primary measurement
+    # is now the on-device fori_loop slope — the state carry serializes
+    # iterations, and the slope between two trip counts cancels both the
+    # dispatch floor and loop entry. (The old 58 MB MLIR blocker was the
+    # featurize stage inside the loop; the bare step lowers to ~1.4 MB and
+    # loops fine.)
+    def body(_, st):
+        st2, _m = step_fn(st, feats)
+        return st2
+
+    loop = jax.jit(lambda st, n: jax.lax.fori_loop(0, n, body, st))
+
+    def run_loop(n):
+        t0 = time.perf_counter()
+        st = loop(state, n)
+        _ = float(st.step)  # scalar fetch: real completion
+        return time.perf_counter() - t0
+
+    run_loop(2)  # compile + warm
+    lo = min(run_loop(3) for _ in range(2))
+    hi = min(run_loop(3 + iters) for _ in range(2))
+    dt = max(hi - lo, 1e-9) / iters
+
+    # In-session dispatch floor: round-trip of a trivial jitted program.
+    # Recorded so the artifact itself shows the step time is not the floor.
+    tiny = jax.jit(lambda x: x + 1.0)
+    z = jax.device_put(jnp.zeros(()))
+    _ = float(tiny(z))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        _ = float(tiny(z))
+    floor_ms = (time.perf_counter() - t0) / 10 * 1e3
+
+    # Cross-check: the old enqueue loop. If the step really costs `dt`,
+    # this reports max(dt, floor) — agreement (or a floor-dominated gap)
+    # is visible in the artifact.
+    step_jit = jax.jit(step_fn)  # no donation: each run() restarts from `state`
+
+    def run_enq(n):
         st = state
         t0 = time.perf_counter()
         for _ in range(n):
@@ -92,16 +128,19 @@ def main():
         _ = float(m["loss"])
         return time.perf_counter() - t0
 
-    state, m = step_jit(state, feats)
+    state2, m = step_jit(state, feats)
     _ = float(m["loss"])  # compile + warm
-    lo = min(run(3) for _ in range(2))
-    hi = min(run(3 + iters) for _ in range(2))
-    dt = max(hi - lo, 1e-9) / iters
+    e_lo = min(run_enq(3) for _ in range(2))
+    e_hi = min(run_enq(3 + iters) for _ in range(2))
+    enq_dt = max(e_hi - e_lo, 1e-9) / iters
+
     crop_audio = batch * (N_G * G_SEC + N_L * L_SEC)
     print(json.dumps({
         "batch": batch, "step_ms": round(dt * 1e3, 2),
         "crop_audio_s_per_s_per_chip": round(crop_audio / dt, 1),
         "utts_per_s": round(batch / dt, 1),
+        "dispatch_floor_ms": round(floor_ms, 2),
+        "enqueue_step_ms": round(enq_dt * 1e3, 2),
         "config": "ECAPA_GLOB_c512 dino 2x3s+4x2s head65536 bf16"}))
 
 

@@ -7,7 +7,8 @@ read the delta as a lower bound on that component's cost (XLA re-fuses
 around the hole, so deltas understate). ReDimNetB2 reference config:
 6 stages, block_1d_type="conv+att" (4 ConvNeXt-1d k=7/19/31/59 + a
 4-head transformer per time-context block), block_2d_type convnext_like,
-group_divisor=8 (wespeaker/models/redimnet.py stages_setup).
+per-stage group_divisor 12/12/12/8/8/4, 1D path divisor 8
+(wespeaker/models/redimnet.py stages_setup).
 
 Usage: python scripts/bench_redimnet_ablation.py [variant ...]
 """
@@ -28,7 +29,7 @@ CHUNK = (200 - 1) * 160 + 400
 BATCH = 512
 
 
-def _identity_subclass(base, n_args=1):
+def _identity_subclass(base):
     class _Id(base):
         @nn.compact
         def __call__(self, x, *a, **k):

@@ -44,6 +44,10 @@ WORKDIR_DEFAULT = "/tmp/wespeaker_convergence"
 NUM_EPOCHS = int(os.environ.get("CONV_EPOCHS", 24))
 SAMPLES_PER_EPOCH = int(os.environ.get("CONV_SAMPLES", 3840))
 BATCH = 64
+# VERDICT r3 item 3: single-seed "ours beat torch once" is weak evidence of
+# matched dynamics; CONV_SEED varies the training seed (corpus stays fixed —
+# make_corpus uses its own rng(0)) so each side reports a distribution.
+SEED = int(os.environ.get("CONV_SEED", 42))
 
 COMMON = dict(
     num_frms=200, feat_dim=80, embed_dim=128, channels=256,
@@ -61,7 +65,7 @@ num_epochs: {num_epochs}
 samples_per_epoch: {samples_per_epoch}
 log_batch_interval: 30
 enable_amp: false
-seed: 42
+seed: {seed}
 dataset_args:
   batch_size: {batch}
   num_frms: {num_frms}
@@ -120,7 +124,7 @@ train_label: {root}/utt2spk
 num_epochs: {num_epochs}
 log_batch_interval: 30
 enable_amp: false
-seed: 42
+seed: {seed}
 gpus: [0]
 model_init: null
 save_epoch_interval: 100
@@ -189,7 +193,8 @@ margin_update:
 
 def _fmt(tpl, root):
     return tpl.format(root=root, num_epochs=NUM_EPOCHS, batch=BATCH,
-                      samples_per_epoch=SAMPLES_PER_EPOCH, **COMMON)
+                      samples_per_epoch=SAMPLES_PER_EPOCH, seed=SEED,
+                      **COMMON)
 
 
 # ---------------------------------------------------------------- stubs
@@ -381,7 +386,8 @@ def run_torch_side(root):
             emb = out[-1] if isinstance(out, tuple) else out
             embs[obj["key"]] = emb.numpy()[0]
     eer, mindcf = eer_from_embeddings(embs, os.path.join(root, "trials"))
-    return {"side": "torch_reference", "eer_percent": round(eer, 2),
+    return {"side": "torch_reference", "seed": SEED,
+            "eer_percent": round(eer, 2),
             "minDCF": round(mindcf, 3), "wall_s": round(wall, 1)}
 
 
@@ -406,7 +412,7 @@ def run_ours_side(root):
         "--batch_size", "32"], check=True)
     embs = read_vec_scp_dict(os.path.join(root, "eval_emb_ours.scp"))
     eer, mindcf = eer_from_embeddings(embs, os.path.join(root, "trials"))
-    return {"side": "ours", "eer_percent": round(eer, 2),
+    return {"side": "ours", "seed": SEED, "eer_percent": round(eer, 2),
             "minDCF": round(mindcf, 3), "wall_s": round(wall, 1)}
 
 
