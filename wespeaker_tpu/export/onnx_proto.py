@@ -224,12 +224,27 @@ def _read_fields(buf: bytes):
         yield fieldnum, wire, val
 
 
+def _unpack_varints(buf: bytes):
+    """Packed repeated scalar payload -> list of varints (canonical proto3
+    serializers pack repeated int64/int32; our writer emits them unpacked —
+    a conforming reader must accept both)."""
+    out, pos = [], 0
+    while pos < len(buf):
+        v, pos = _read_varint(buf, pos)
+        out.append(v)
+    return out
+
+
+def _unpack_f32(buf: bytes):
+    return list(struct.unpack(f"<{len(buf) // 4}f", buf))
+
+
 def _decode_tensor(buf: bytes) -> Tensor:
     dims, dtype, name, raw = [], FLOAT, "", b""
     floats, int64s, int32s = [], [], []
     for f, w, v in _read_fields(buf):
         if f == 1:
-            dims.append(v)
+            dims.extend(_unpack_varints(v) if w == 2 else [v])
         elif f == 2:
             dtype = v
         elif f == 8:
@@ -237,11 +252,12 @@ def _decode_tensor(buf: bytes) -> Tensor:
         elif f == 9:
             raw = v
         elif f == 4:
-            floats.append(struct.unpack("<f", v)[0])
+            floats.extend(_unpack_f32(v) if w == 2
+                          else [struct.unpack("<f", v)[0]])
         elif f == 7:
-            int64s.append(v)
+            int64s.extend(_unpack_varints(v) if w == 2 else [v])
         elif f == 5:
-            int32s.append(v)
+            int32s.extend(_unpack_varints(v) if w == 2 else [v])
     np_dtype = ONNX_TO_NP[dtype]
     if raw:
         arr = np.frombuffer(raw, dtype=np_dtype).reshape(dims)
@@ -271,9 +287,11 @@ def _decode_attr(buf: bytes):
         elif f == 5:
             tval = _decode_tensor(v)
         elif f == 8:
-            ints.append(v if v < (1 << 63) else v - (1 << 64))
+            vs = _unpack_varints(v) if w == 2 else [v]
+            ints.extend(x if x < (1 << 63) else x - (1 << 64) for x in vs)
         elif f == 7:
-            floats.append(struct.unpack("<f", v)[0])
+            floats.extend(_unpack_f32(v) if w == 2
+                          else [struct.unpack("<f", v)[0]])
     if atype == A_INT:
         return name, ival
     if atype == A_FLOAT:
