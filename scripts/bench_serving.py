@@ -67,7 +67,7 @@ def main():
         w.writeframes((wav * 32767).astype(np.int16).tobytes())
     body = buf.getvalue()
 
-    def one():
+    def one_http():
         req = urllib.request.Request(url, data=body,
                                      headers={"Content-Type": "audio/wav"})
         t0 = time.perf_counter()
@@ -75,7 +75,13 @@ def main():
             json.loads(resp.read())
         return time.perf_counter() - t0
 
-    def run_phase(count):
+    def one_direct():
+        # the batcher without HTTP: same dynamic batching + model dispatch
+        t0 = time.perf_counter()
+        server.batcher.embed(wav)
+        return time.perf_counter() - t0
+
+    def run_phase(count, one):
         lat = []
         lock = threading.Lock()
         work = list(range(count))
@@ -98,18 +104,47 @@ def main():
             th.join()
         return lat, time.perf_counter() - t0
 
+    def pcts(lat):
+        ms = np.sort(np.asarray(lat) * 1000)
+        return {p: round(float(np.percentile(ms, p)), 1)
+                for p in (50, 95, 99)}
+
     # warmup at full concurrency: compiles every power-of-two batch shape
     # the collator can form (tunnel compiles are ~30-60 s each)
-    run_phase(max(conc * 4, 32))
-    lat, wall = run_phase(n_req)
-    lat_ms = np.sort(np.asarray(lat) * 1000)
+    run_phase(max(conc * 4, 32), one_http)
+
+    # Three-way decomposition (VERDICT r3 item 6): session-level transport
+    # swings made absolute HTTP latency unstable round-over-round, so the
+    # stable per-session metrics are the SUBTRACTIONS measured in one run:
+    #   raw dispatch  = trivial-program round trip (pure transport floor)
+    #   direct p50    = batcher.embed() thread-pool latency (batching +
+    #                   model compute + dispatch, no HTTP)
+    #   http p50      = the full daemon path
+    # http - direct = daemon-attributable overhead; direct - dispatch
+    # isolates batching+compute from the tunnel.
+    import jax
+    import jax.numpy as jnp
+    tiny = jax.jit(lambda x: x + 1.0)
+    z = jax.device_put(jnp.zeros(()))
+    _ = float(tiny(z))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        _ = float(tiny(z))
+    dispatch_ms = (time.perf_counter() - t0) / 10 * 1e3
+
+    lat_d, wall_d = run_phase(n_req, one_direct)
+    lat_h, wall_h = run_phase(n_req, one_http)
+    p_d, p_h = pcts(lat_d), pcts(lat_h)
     print(json.dumps({
         "concurrency": conc, "requests": n_req,
-        "p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
-        "p95_ms": round(float(np.percentile(lat_ms, 95)), 1),
-        "p99_ms": round(float(np.percentile(lat_ms, 99)), 1),
-        "req_per_s": round(n_req / wall, 1),
-        "audio_s_per_s": round(n_req * 2.0 / wall, 1),
+        "dispatch_floor_ms": round(dispatch_ms, 1),
+        "direct_p50_ms": p_d[50], "direct_p95_ms": p_d[95],
+        "direct_req_per_s": round(n_req / wall_d, 1),
+        "http_p50_ms": p_h[50], "http_p95_ms": p_h[95],
+        "http_p99_ms": p_h[99],
+        "http_req_per_s": round(n_req / wall_h, 1),
+        "daemon_overhead_p50_ms": round(p_h[50] - p_d[50], 1),
+        "audio_s_per_s": round(n_req * 2.0 / wall_h, 1),
     }))
     server.close()
 

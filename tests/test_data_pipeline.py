@@ -243,6 +243,36 @@ def test_eval_batches_windowed_sort():
         np.testing.assert_array_equal(seen[key], wav)
 
 
+def test_eval_batches_pow2_buckets():
+    """pow2_buckets=True rounds bucket lengths up the geometric ladder —
+    distinct padded shapes stay ~log2(max_len/quantum) so Pallas fused
+    kernels (minutes of Mosaic compile per shape) are usable for
+    variable-length extraction; contents/masks are unchanged."""
+    from wespeaker_tpu.data.dataset import eval_batches
+
+    rng = np.random.default_rng(1)
+    lens = rng.integers(4000, 130000, 120)
+    items = [(f"u{i}", rng.uniform(-1, 1, n).astype(np.float32))
+             for i, n in enumerate(lens)]
+    seen, shapes = {}, set()
+    for batch in eval_batches(iter(items), batch_size=8,
+                              quantum_samples=16000, sort_window=16,
+                              pow2_buckets=True):
+        padded = batch["wav"].shape[1]
+        shapes.add(padded)
+        # power-of-2 multiple of the quantum
+        assert padded % 16000 == 0 and (padded // 16000) & (
+            padded // 16000 - 1) == 0
+        for j, key in enumerate(batch["key"]):
+            n = int(batch["mask"][j].sum())
+            seen[key] = batch["wav"][j, :n]
+    # 4k..130k samples -> at most 1s/2s/4s/8s/16s buckets
+    assert len(shapes) <= 5, shapes
+    assert len(seen) == 120
+    for key, wav in items:
+        np.testing.assert_array_equal(seen[key], wav)
+
+
 def test_defer_chunk_aug_yields_whole_utterances(corpus):
     """SSL mode (defer_chunk_aug): the dataset must not pre-chunk or
     pre-augment — crops are taken from the whole utterance and each view is

@@ -103,7 +103,7 @@ def iter_wavs_from_list(data_list, target_rate=16000, num_splits=1,
 def extract(config, checkpoint_path, data_list, out_prefix, batch_size=8,
             overrides=None, num_splits=1, split_index=0, bf16=False,
             read_threads=4, precision="default", data_parallel=False,
-            **kwargs):
+            pow2_buckets=False, **kwargs):
     """num_splits/split_index stripe the data list across independent
     processes/hosts (tools/extract_embedding.sh:40-75 equivalent).
     bf16=True casts weights+activations to bfloat16 for ~2x throughput
@@ -124,12 +124,13 @@ def extract(config, checkpoint_path, data_list, out_prefix, batch_size=8,
         return _extract_inner(configs, checkpoint_path, data_list,
                               out_prefix, batch_size, num_splits,
                               split_index, bf16, read_threads,
-                              data_parallel=data_parallel)
+                              data_parallel=data_parallel,
+                              pow2_buckets=pow2_buckets)
 
 
 def _extract_inner(configs, checkpoint_path, data_list, out_prefix,
                    batch_size, num_splits, split_index, bf16, read_threads,
-                   data_parallel=False):
+                   data_parallel=False, pow2_buckets=False):
     built, variables = load_model_for_eval(configs, checkpoint_path)
     # --num_splits still stripes across hosts on a multi-host pod
     from wespeaker_tpu.utils.eval_device import prepare_eval_placement
@@ -156,7 +157,8 @@ def _extract_inner(configs, checkpoint_path, data_list, out_prefix,
 
     def items():
         for batch in eval_batches(wavs, batch_size=batch_size,
-                                  quantum_samples=rate):
+                                  quantum_samples=rate,
+                                  pow2_buckets=pow2_buckets):
             wav, mask, n_real = batch["wav"], batch["mask"], len(batch["key"])
             if n_dev > 1 and n_real % n_dev:
                 # pad the batch dim to the device count by replicating the
@@ -203,12 +205,19 @@ def main():
                          "exact strict-parity (slowest)")
     ap.add_argument("--read_threads", type=int, default=4,
                     help="wav-reading threads overlapping the device fwd")
+    ap.add_argument("--pow2_buckets", action="store_true",
+                    help="geometric (power-of-2) length buckets instead of "
+                         "the linear 1s grid: bounds distinct compiled "
+                         "shapes to ~log2(max_len) — use with Pallas fused "
+                         "kernels (CAMPPlus fused_blocks) whose per-shape "
+                         "Mosaic compile is minutes")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
     extract(args.config, args.checkpoint, args.data_list, args.out_prefix,
             args.batch_size, args.overrides, args.num_splits,
             args.split_index, bf16=args.bf16, read_threads=args.read_threads,
-            precision=args.precision, data_parallel=args.data_parallel)
+            precision=args.precision, data_parallel=args.data_parallel,
+            pow2_buckets=args.pow2_buckets)
 
 
 if __name__ == "__main__":

@@ -150,7 +150,8 @@ class SpeakerDataset:
 
 def eval_batches(utt_wavs, batch_size: int = 8, quantum_samples: int = 16000,
                  max_samples: Optional[int] = None,
-                 sort_window: Optional[int] = 4096) -> Iterator[dict]:
+                 sort_window: Optional[int] = 4096,
+                 pow2_buckets: bool = False) -> Iterator[dict]:
     """Static-shape eval batching for variable-length utterances: sort by
     length, group, right-pad to the bucket max rounded up to `quantum`, and
     emit a per-sample validity mask so masked pooling reproduces the
@@ -161,7 +162,14 @@ def eval_batches(utt_wavs, batch_size: int = 8, quantum_samples: int = 16000,
     windows of `sort_window` utterances so memory stays bounded on
     million-utterance lists (bucketing quality is per-window; numerics are
     identical regardless of grouping thanks to the masks). `sort_window=None`
-    sorts the full list."""
+    sorts the full list.
+
+    pow2_buckets=True rounds each bucket up the diar-style geometric ladder
+    (quantum, 2*quantum, 4*quantum, ...) instead of the linear quantum
+    grid, bounding distinct compiled shapes to ~log2(max_len/quantum) —
+    required when the model uses Pallas fused kernels whose Mosaic compile
+    is minutes per (T, C) shape (CAMPPlus fused_blocks; docs/PERF.md), at
+    the cost of more padded FLOPs per batch (masks keep numerics exact)."""
 
     def emit(items):
         items.sort(key=lambda kv: len(kv[1]))
@@ -171,6 +179,11 @@ def eval_batches(utt_wavs, batch_size: int = 8, quantum_samples: int = 16000,
             if max_samples is not None:
                 longest = min(longest, max_samples)
             padded_len = -(-longest // quantum_samples) * quantum_samples
+            if pow2_buckets:
+                p = quantum_samples
+                while p < longest:
+                    p *= 2
+                padded_len = p
             wavs = np.zeros((len(group), padded_len), np.float32)
             mask = np.zeros((len(group), padded_len), np.float32)
             keys = []
