@@ -75,9 +75,23 @@ class NoStagesBottleneck(nn.Module):
         return x
 
 
+def _shift_add_dw3x3(x, w):
+    """Depthwise 3x3 as 9 shifted broadcast-multiply-adds: pure VPU
+    elementwise work XLA fuses into one pass — the candidate replacement
+    for the grouped-conv lowering. x: (B, F, T, C), w: (3, 3, C)."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    f, t = x.shape[1], x.shape[2]
+    out = jnp.zeros_like(x)
+    for i in range(3):
+        for j in range(3):
+            out = out + xp[:, i:i + f, j:j + t, :] * w[i, j]
+    return out
+
+
 def microdw(batch):
-    """Stage-3 shaped (B, 10, 100, 256) 3x3: depthwise vs dense — the
-    per-element MXU density gap, measured."""
+    """Stage-3 shaped (B, 10, 100, 256) 3x3: depthwise (grouped-conv
+    lowering) vs shift-add formulation vs dense — measures both the MXU
+    density gap and whether bypassing the grouped-conv path pays."""
     x = jnp.asarray(np.random.default_rng(0).normal(
         size=(batch, 10, 100, 256)).astype(np.float32)).astype(jnp.bfloat16)
     results = {}
@@ -88,6 +102,11 @@ def microdw(batch):
         fn = jax.jit(lambda d, _v=v, _m=m: _m.apply(_v, d["x"]))
         dt = time_fn_on_device(fn, {"x": x}, iters=20)
         results[f"conv3x3_{kind}_ms"] = round(dt * 1e3, 3)
+    w = jnp.asarray(np.random.default_rng(1).normal(
+        size=(3, 3, 256)).astype(np.float32)).astype(jnp.bfloat16)
+    fn = jax.jit(lambda d: _shift_add_dw3x3(d["x"], w))
+    dt = time_fn_on_device(fn, {"x": x}, iters=20)
+    results["conv3x3_shiftadd_ms"] = round(dt * 1e3, 3)
     r = results["conv3x3_dense_ms"] / max(
         results["conv3x3_depthwise_ms"], 1e-9)
     results["dense_over_depthwise"] = round(r, 2)
