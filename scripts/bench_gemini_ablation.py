@@ -127,7 +127,9 @@ def main():
         return
 
     kw = dict(feat_dim=80, embed_dim=192)
-    if variant == "nodw":
+    if variant == "fused":
+        kw["fused_stages"] = True
+    elif variant == "nodw":
         G.InvertedBottleneck = NoDWBottleneck
     elif variant == "no1x1":
         G.InvertedBottleneck = No1x1Bottleneck

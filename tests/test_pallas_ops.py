@@ -395,3 +395,60 @@ def test_fused_cam_dense_block_module_matches_standard():
     got_m = np.asarray(fused.apply(variables, x220, mask=mask))
     assert cos(got_m, want_m) > 0.99999, cos(got_m, want_m)
     np.testing.assert_allclose(got_m, want_m, atol=3e-3, rtol=3e-3)
+
+
+def test_fused_inv_bottleneck_stage_module_matches_standard():
+    """Gemini_DF_ResNet with the fused whole-stage kernel (interpret on
+    CPU) must equal the standard flax path on identical variables — both
+    at a sublane-aligned T and at an unaligned T (in-kernel pad path,
+    where boundary depthwise taps must read zeros exactly like XLA's SAME
+    padding)."""
+    from wespeaker_tpu.models.gemini_dfresnet import Gemini_DF_ResNet
+
+    kw = dict(depths=(1, 1, 2, 1), dims=(8, 8, 16, 16, 32), feat_dim=16,
+              embed_dim=24)
+    std = Gemini_DF_ResNet(**kw)
+    fused = Gemini_DF_ResNet(**kw, fused_stages=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(3, 64, 16)).astype(np.float32))
+    variables = std.init(jax.random.PRNGKey(0), x)
+    import jax as _j
+    bs = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * _j.random.normal(_j.random.PRNGKey(1), a.shape),
+        variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": bs}
+
+    want = np.asarray(std.apply(variables, x))
+    got = np.asarray(fused.apply(variables, x))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-4)
+
+    # unaligned T' (stride-2 time downsample halves T): T=58 -> stage T'
+    # of 58/29 exercises the tpad path in both stages
+    x2 = x[:, :58]
+    want = np.asarray(std.apply(variables, x2))
+    got = np.asarray(fused.apply(variables, x2))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-4)
+
+    # the two paths must share one checkpoint: identical param tree
+    vf = fused.init(jax.random.PRNGKey(0), x)
+    a = jax.tree_util.tree_structure(variables["params"])
+    b = jax.tree_util.tree_structure(vf["params"])
+    assert a == b, (a, b)
+
+
+def test_fused_inv_bottleneck_kernel_matches_reference():
+    """Kernel (interpret) vs the plain-jnp reference on raw stacked
+    weights, batch not divisible by BLOCK_B."""
+    from wespeaker_tpu.ops.inv_bottleneck_pallas import (
+        fused_inv_bottleneck_stage, inv_bottleneck_stage_reference)
+
+    rng = np.random.default_rng(3)
+    L, F, T, C = 2, 5, 24, 8
+    x = jnp.asarray(rng.normal(size=(3, F, T, C)).astype(np.float32))
+    args = [jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.3)
+            for s in [(L, C, 4 * C), (L, 4 * C), (L, 4 * C),
+                      (L, 3, 3, 4 * C), (L, 4 * C), (L, 4 * C),
+                      (L, 4 * C, C), (L, C), (L, C)]]
+    want = np.asarray(inv_bottleneck_stage_reference(x, *args))
+    got = np.asarray(fused_inv_bottleneck_stage(x, *args, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
