@@ -30,7 +30,26 @@ from jax.experimental.pallas import tpu as pltpu
 
 from wespeaker_tpu.ops.tpu_info import vmem_budget_bytes
 
-BLOCK_B = int(os.environ.get("WESPEAKER_INVBN_BLOCK_B", "8"))
+BLOCK_B = int(os.environ.get("WESPEAKER_INVBN_BLOCK_B", "0"))  # 0 = auto
+
+
+def _vmem_need(block_b: int, f: int, t16: int, c: int,
+               itemsize: int) -> int:
+    """x + out tiles at C, h/g maps at 4C, f32 y accumulator at 4C."""
+    tile_c = block_b * f * t16 * c * itemsize
+    tile_4c = block_b * f * t16 * 4 * c
+    return 3 * tile_c + tile_4c * (2 * itemsize + 2 * 4)
+
+
+def _pick_block_b(f: int, t16: int, c: int, itemsize: int) -> int:
+    """Largest batch tile that fits: deep stages (small F*T) take far
+    bigger tiles than stage 1, amortizing per-grid-step overheads."""
+    if BLOCK_B:
+        return BLOCK_B
+    for bb in (64, 32, 16, 8):
+        if _vmem_need(bb, f, t16, c, itemsize) <= vmem_budget_bytes():
+            return bb
+    return 8
 
 
 def _shift2d(h, df, dt):
@@ -92,15 +111,11 @@ def _stage_kernel(x_ref, w1_ref, s1_ref, t1_ref, wdw_ref, s2_ref, t2_ref,
 
 
 def inv_stage_fits(f: int, t, c: int, itemsize: int = 2) -> bool:
-    """VMEM envelope: x + out tiles at C, h/y/g working maps at 4C (the
-    f32 accumulator counts 2x), plus slack for Mosaic temporaries."""
+    """True when the smallest batch tile fits the VMEM envelope."""
     if not isinstance(t, int):
         return False
     t16 = -(-t // 16) * 16
-    tile_c = BLOCK_B * f * t16 * c * itemsize
-    tile_4c = BLOCK_B * f * t16 * 4 * c
-    need = 3 * tile_c + tile_4c * (2 * itemsize + 2 * 4)
-    return need <= vmem_budget_bytes()
+    return _vmem_need(8, f, t16, c, itemsize) <= vmem_budget_bytes()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -110,14 +125,15 @@ def fused_inv_bottleneck_stage(x, w1, s1, t1, wdw, s2, t2, w2, s3, t3,
     b0, f, t_real, c = x.shape
     num_blocks = w1.shape[0]
     io_dtype = x.dtype
-    pad = (-b0) % BLOCK_B
     tpad = (-t_real) % 16  # sublane alignment (cam_block_pallas lesson)
     t = t_real + tpad
+    block_b = _pick_block_b(f, t, c, x.dtype.itemsize)
+    pad = (-b0) % block_b
     xp = jnp.pad(x, ((0, pad), (0, 0), (0, tpad), (0, 0))) \
         if (pad or tpad) else x
     b = b0 + pad
 
-    tile = pl.BlockSpec((BLOCK_B, f, t, c), lambda i: (i, 0, 0, 0),
+    tile = pl.BlockSpec((block_b, f, t, c), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
     vec = pl.BlockSpec(memory_space=pltpu.VMEM)
     args = [xp,
@@ -129,7 +145,7 @@ def fused_inv_bottleneck_stage(x, w1, s1, t1, wdw, s2, t2, w2, s3, t3,
     out = pl.pallas_call(
         functools.partial(_stage_kernel, num_blocks=num_blocks, t=t,
                           t_real=t_real),
-        grid=(b // BLOCK_B,),
+        grid=(b // block_b,),
         in_specs=[tile] + [vec] * 9,
         out_specs=tile,
         out_shape=jax.ShapeDtypeStruct((b, f, t, c), io_dtype),
