@@ -73,6 +73,8 @@ def make_ckpt():
 
 
 def run_extract(ckpt_path, fused: bool, tag: str):
+    import yaml
+
     from wespeaker_tpu.bin.extract import extract
     cfg = {
         "model": "CAMPPlus",
@@ -82,8 +84,11 @@ def run_extract(ckpt_path, fused: bool, tag: str):
         "dataset_args": {"resample_rate": SR,
                          "fbank_args": {"num_mel_bins": 80}},
     }
+    cfg_path = os.path.join(ROOT, f"cfg_{tag}.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
     t0 = time.perf_counter()
-    extract(cfg, ckpt_path, os.path.join(ROOT, "eval.list"),
+    extract(cfg_path, ckpt_path, os.path.join(ROOT, "eval.list"),
             os.path.join(ROOT, f"emb_{tag}"), batch_size=24,
             bf16=True, pow2_buckets=True)
     return time.perf_counter() - t0
