@@ -16,8 +16,10 @@ Supported-upstream matrix (see docs/MIGRATING.md for the full table):
 - Whisper encoder           -> `frontend/whisper_encoder.py`
   (`dataset_args.frontend: whisper_encoder`).
 - Other s3prl upstream names (the reference's S3prlFrontend accepts any,
-  s3prl.py:23-93) have no TPU path; precompute features with the torch
-  stack and train with `data_type: feat`.
+  s3prl.py:23-93) have no TPU path; `bin/precompute_feats.py` runs any
+  torch.jit / local-HF / s3prl upstream on the host CPU once, writes
+  kaldi 'FM' feats, and training consumes them with `data_type: feat`
+  (tests/test_precompute_feats.py pins the round trip).
 
 This module keeps the pieces shared across those frontends: the learned
 layer-weighting `Featurizer` and the generic HF-Flax wav2vec2 wrapper.

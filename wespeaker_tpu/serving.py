@@ -268,7 +268,15 @@ def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
             except BaseException as e:
                 self._reply(400, {"error": repr(e)})
 
-    return ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        # socketserver's default listen backlog is 5: a 16-client connect
+        # burst overflows it, the kernel drops SYNs, and the clients
+        # retransmit on the 1 s / 3 s timers — measured as 3-4 s p95/p99
+        # HTTP tails (7x throughput loss) while the direct batcher ran at
+        # 162 req/s (scripts/bench_serving.py decomposition, round 4).
+        request_queue_size = 128
+
+    return Server((host, port), Handler)
 
 
 class EmbeddingServer:

@@ -45,6 +45,30 @@ def write_vec_ark_scp(path_prefix: str,
     return ark_path, scp_path
 
 
+def write_mat_ark_scp(path_prefix: str,
+                      items: Iterator[Tuple[str, np.ndarray]]):
+    """Write float32 matrices (T, F) to `<prefix>.ark` + `<prefix>.scp` —
+    the kaldi 'FM' binary format the feat data_type consumes
+    (data/pipeline.py::parse_feat; reference processor.py parse_feat)."""
+    ark_path = path_prefix + ".ark"
+    scp_path = path_prefix + ".scp"
+    parent = os.path.dirname(os.path.abspath(ark_path))
+    os.makedirs(parent, exist_ok=True)
+    abs_ark = os.path.abspath(ark_path)
+    with open(ark_path, "wb") as ark, open(scp_path, "w") as scp:
+        for key, mat in items:
+            mat = np.ascontiguousarray(np.asarray(mat, np.float32))
+            assert mat.ndim == 2, (key, mat.shape)
+            ark.write(key.encode() + b" ")
+            offset = ark.tell()
+            ark.write(b"\x00BFM ")
+            _write_int32(ark, mat.shape[0])
+            _write_int32(ark, mat.shape[1])
+            ark.write(mat.tobytes())
+            scp.write(f"{key} {abs_ark}:{offset}\n")
+    return ark_path, scp_path
+
+
 def _read_binary_payload(f):
     header = f.read(3)
     if header[:2] == b"FV":
