@@ -158,10 +158,26 @@ def main():
         data = {"feat": jnp.asarray(rng.normal(
             size=(batch, 200, 80)).astype(np.float32))}
 
+    extra = {}
+    if variant == "fused":
+        # on-chip numerics gate: interpret-mode tests can't see real-MXU
+        # or the pltpu.roll tap path, so pin fused-vs-standard cosine here
+        std = G.Gemini_DF_ResNet60(feat_dim=80, embed_dim=192)
+        small = jax.tree_util.tree_map(lambda a: a[:8], data)
+        want = np.asarray(jax.jit(lambda b: make_eval_embed_fn(
+            std, FbankConfig(), compute_dtype=jnp.bfloat16,
+            from_wav=from_wav)(variables, b))(small)).astype(np.float32)
+        got = np.asarray(fn(small)).astype(np.float32)
+        cos = np.sum(want * got, -1) / np.maximum(
+            np.linalg.norm(want, axis=-1) * np.linalg.norm(got, axis=-1),
+            1e-9)
+        extra["min_cosine_vs_standard"] = round(float(cos.min()), 5)
+
     dt = time_fn_on_device(fn, data, iters=iters)
     print(json.dumps({"variant": variant, "batch": batch,
                       "ms": round(dt * 1e3, 2),
-                      "audio_s_per_s": round(batch * 2.0 / dt, 1)}))
+                      "audio_s_per_s": round(batch * 2.0 / dt, 1),
+                      **extra}))
 
 
 if __name__ == "__main__":

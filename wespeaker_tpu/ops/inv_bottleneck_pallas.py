@@ -71,9 +71,26 @@ def _shift2d(h, df, dt):
     return h
 
 
+def _tap_roll(h, df, dt):
+    """Tap shift with the TPU roll primitive on the sublane (T) axis +
+    wrap mask; the F axis (an untiled major dim, where Mosaic rejects
+    dynamic_rotate) keeps the concat+slice idiom. TPU real mode only;
+    interpret/reference keep _shift2d."""
+    # f32 before the rotate: this Mosaic build rejects non-32-bit data in
+    # tpu.dynamic_rotate (and the accumulation is f32 regardless)
+    x = _shift2d(h, df, 0).astype(jnp.float32)
+    t_dim = h.shape[2]
+    if dt:
+        x = pltpu.roll(x, (-dt) % t_dim, 2)  # roll wants shift >= 0
+        tpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, t_dim, 1), 2)
+        valid = (tpos + dt >= 0) & (tpos + dt < t_dim)
+        x = x * valid.astype(x.dtype)
+    return x
+
+
 def _stage_kernel(x_ref, w1_ref, s1_ref, t1_ref, wdw_ref, s2_ref, t2_ref,
                   w2_ref, s3_ref, t3_ref, o_ref, *, num_blocks: int,
-                  t: int, t_real: int):
+                  t: int, t_real: int, use_roll: bool = False):
     """x_ref/o_ref: (BLOCK_B, F, T, C). Stacked weights:
     w1 (L, C, 4C), s1/t1 (L, 4C), wdw (L, 3, 3, 4C), s2/t2 (L, 4C),
     w2 (L, 4C, C), s3/t3 (L, C). t is sublane-aligned; frames >= t_real
@@ -100,10 +117,11 @@ def _stage_kernel(x_ref, w1_ref, s1_ref, t1_ref, wdw_ref, s2_ref, t2_ref,
             h = h * tkeep
         h = h.astype(io_dtype)
         y = jnp.zeros(h.shape, jnp.float32)
+        shift = _tap_roll if use_roll else _shift2d
         for df in (-1, 0, 1):
             for dt_ in (-1, 0, 1):
                 tap = wdw_ref[i, df + 1, dt_ + 1].astype(jnp.float32)
-                y = y + _shift2d(h, df, dt_).astype(jnp.float32) * tap
+                y = y + shift(h, df, dt_).astype(jnp.float32) * tap
         g = jnp.maximum(y * s2_ref[i] + t2_ref[i], 0.0).astype(io_dtype)
         p = dot(g, w2_ref[i]) * s3_ref[i] + t3_ref[i]
         x = jnp.maximum(p + x.astype(jnp.float32), 0.0).astype(io_dtype)
@@ -144,7 +162,9 @@ def fused_inv_bottleneck_stage(x, w1, s1, t1, wdw, s2, t2, w2, s3, t3,
             t3.astype(jnp.float32)]
     out = pl.pallas_call(
         functools.partial(_stage_kernel, num_blocks=num_blocks, t=t,
-                          t_real=t_real),
+                          t_real=t_real, use_roll=not interpret and
+                          os.environ.get("WESPEAKER_INVBN_ROLL", "1")
+                          != "0"),
         grid=(b // block_b,),
         in_specs=[tile] + [vec] * 9,
         out_specs=tile,
