@@ -211,3 +211,20 @@ def test_batcher_close_unblocks_and_rejects():
     assert done == 3  # every request either answered or errored, none hung
     with pytest.raises(RuntimeError):
         b.embed(np.zeros(800, np.float32))
+
+
+def test_listen_backlog_survives_connect_burst():
+    """socketserver's default listen backlog of 5 dropped SYNs under a
+    16-client connect burst (measured 3-4 s p99 retransmit tails,
+    docs/PERF.md round 4); make_server must raise it."""
+    from wespeaker_tpu.serving import DynamicBatcher, make_server
+
+    b = DynamicBatcher(
+        lambda wavs, mask: np.zeros((wavs.shape[0], 4), np.float32),
+        max_batch=4, max_wait_ms=1, quantum_samples=800)
+    srv = make_server(b, port=0)
+    try:
+        assert srv.request_queue_size >= 64, srv.request_queue_size
+    finally:
+        srv.server_close()
+        b.close()
