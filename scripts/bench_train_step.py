@@ -38,6 +38,11 @@ def main():
     amp = bool(int(sys.argv[2])) if len(sys.argv) > 2 else True
     model_name = sys.argv[3] if len(sys.argv) > 3 else "ECAPA_TDNN_GLOB_c512"
     iters = 20
+    # single-chip bench = pure DP: the native grouped-conv backward is
+    # valid and what bin/train.py selects (WESPEAKER_GROUPED_GRAD=safe
+    # re-measures the GSPMD-safe path)
+    from wespeaker_tpu.ops.grouped_conv import set_kernel_grad_mode
+    set_kernel_grad_mode(os.environ.get("WESPEAKER_GROUPED_GRAD", "native"))
 
     model = get_speaker_model(model_name)(feat_dim=80, embed_dim=192)
     projection = ArcMarginProduct(192, NUM_CLASS)

@@ -190,3 +190,33 @@ def test_train_step_wavlm_grad_scale_on_tp_mesh():
     tp_upd = pos_conv_update(tp_state)
     # before the fix this ratio was ~4.0 (the model-axis size)
     assert abs(tp_upd / ref_upd - 1.0) < 0.05, (tp_upd, ref_upd)
+
+
+def test_kernel_grad_mode_native_matches_safe():
+    """'native' mode (used by bin/train.py under pure DP — the safe
+    einsum-per-tap path materializes per-tap input slices and measured
+    ~9x the structural backward cost for depthwise stages, docs/PERF.md
+    round 4) must produce the same gradients on a single device."""
+    from wespeaker_tpu.ops import grouped_conv as gc
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 9, 7, 24)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 1, 24)).astype(np.float32))
+    st, pad, dil = (1, 1), ((1, 1), (1, 1)), (1, 1)
+
+    def loss(k_, x_):
+        return jnp.sum(jnp.sin(grouped_conv(x_, k_, st, pad, dil, 24)))
+
+    assert gc.kernel_grad_mode() == "safe"
+    gk_safe, gx_safe = jax.grad(loss, argnums=(0, 1))(k, x)
+    try:
+        gc.set_kernel_grad_mode("native")
+        gk_nat, gx_nat = jax.grad(loss, argnums=(0, 1))(k, x)
+    finally:
+        gc.set_kernel_grad_mode("safe")
+    np.testing.assert_allclose(np.asarray(gk_nat), np.asarray(gk_safe),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx_nat), np.asarray(gx_safe),
+                               atol=1e-4, rtol=1e-4)
+    with pytest.raises(AssertionError):
+        gc.set_kernel_grad_mode("fast")

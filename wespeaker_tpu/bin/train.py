@@ -88,6 +88,14 @@ def train(config: str, overrides=None, **kwargs):
     mesh = make_mesh(
         model=configs.get("parallel_args", {}).get("model", 1))
     n_dev = mesh.devices.size
+    # grouped/depthwise conv kernel gradient: XLA's native backward is
+    # correct under pure DP (batch sharded over every axis) and ~9x
+    # faster for depthwise stages; the hand-rolled GSPMD-safe path is
+    # only needed when a model axis replicates the batch
+    # (ops/grouped_conv.py module docstring).
+    from wespeaker_tpu.ops.grouped_conv import set_kernel_grad_mode
+    set_kernel_grad_mode(
+        "native" if mesh.shape["model"] == 1 else "safe")
 
     spk2id = spk2id_from_utt2spk(configs["spk2id"]
                                  if "spk2id" in configs

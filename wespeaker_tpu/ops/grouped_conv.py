@@ -72,6 +72,34 @@ def _fwd(x, kernel, strides, padding, dilation, groups):
     return out, (x, kernel)
 
 
+# Kernel-gradient mode. "safe" computes the kernel cotangent by hand (the
+# module-docstring einsum-per-tap) so GSPMD cannot mis-partition it — but
+# each tap SLICES the padded input into a fresh (positions, groups, cin_g)
+# array, which for depthwise convs at CNN stage-1 shapes materializes
+# gigabytes per backward: the round-4 train-step zoo measured
+# Gemini-DF-ResNet60 at 9.4x its forward (283 ms vs the ~3x structural
+# fwd+bwd ratio) with this path. "native" uses XLA's own grouped-conv
+# backward — correct on a single device and under pure data parallelism
+# (batch sharded over every mesh axis); WRONG only when the batch is
+# replicated over part of the mesh (a model axis) with a replicated
+# kernel. bin/train.py selects: native when the mesh has no model axis,
+# safe otherwise. Default stays safe.
+_KERNEL_GRAD_MODE = "safe"
+
+
+def set_kernel_grad_mode(mode: str):
+    """'safe' (GSPMD-proof, slow for depthwise) or 'native' (XLA backward;
+    only valid without model-axis batch replication). Takes effect at the
+    next trace (call before jit/compile)."""
+    global _KERNEL_GRAD_MODE
+    assert mode in ("safe", "native"), mode
+    _KERNEL_GRAD_MODE = mode
+
+
+def kernel_grad_mode() -> str:
+    return _KERNEL_GRAD_MODE
+
+
 def _bwd(strides, padding, dilation, groups, res, dy):
     x, kernel = res
 
@@ -79,6 +107,12 @@ def _bwd(strides, padding, dilation, groups, res, dy):
     _, x_vjp = jax.vjp(
         lambda x_: _native(x_, kernel, strides, padding, dilation, groups), x)
     dx = x_vjp(dy)[0]
+
+    if _KERNEL_GRAD_MODE == "native":
+        _, k_vjp = jax.vjp(
+            lambda k_: _native(x, k_, strides, padding, dilation, groups),
+            kernel)
+        return dx, k_vjp(dy)[0]
 
     # kernel gradient: one einsum per kernel tap (see module docstring)
     spatial = kernel.shape[:-2]
