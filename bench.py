@@ -173,6 +173,7 @@ def bench_dino_subprocess(timeout_s=540):
     import subprocess
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "scripts", "bench_dino_step.py")
+    proc = None
     try:
         proc = subprocess.run([sys.executable, script], timeout=timeout_s,
                               capture_output=True, text=True)
@@ -182,8 +183,15 @@ def bench_dino_subprocess(timeout_s=540):
             "dino_dispatch_floor_ms": out["dispatch_floor_ms"],
             "dino_enqueue_step_ms": out["enqueue_step_ms"],
         }
-    except Exception:
-        return None, {}  # never break the one-line driver contract
+    except Exception as e:
+        # never break the one-line driver contract (stdout stays the JSON
+        # line), but surface the child's failure on stderr for debugging
+        tail = ""
+        if proc is not None and getattr(proc, "stderr", None):
+            tail = proc.stderr[-2000:]
+        print(f"bench_dino_subprocess failed: {e!r}\n--- child stderr tail"
+              f" ---\n{tail}", file=sys.stderr)
+        return None, {}
 
 
 if __name__ == "__main__":

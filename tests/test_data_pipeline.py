@@ -273,6 +273,29 @@ def test_eval_batches_pow2_buckets():
         np.testing.assert_array_equal(seen[key], wav)
 
 
+def test_eval_batches_pow2_buckets_respects_max_samples():
+    """max_samples must bound the VALID samples even when the pow2 ladder
+    rounds padded_len past it — otherwise the cap stops limiting
+    per-utterance length and masked numerics diverge from linear mode."""
+    from wespeaker_tpu.data.dataset import eval_batches
+
+    rng = np.random.default_rng(7)
+    items = [("long", rng.uniform(-1, 1, 50000).astype(np.float32)),
+             ("short", rng.uniform(-1, 1, 9000).astype(np.float32))]
+    cap = 20000
+    for batch in eval_batches(iter(items), batch_size=2,
+                              quantum_samples=16000, max_samples=cap,
+                              pow2_buckets=True):
+        for j, key in enumerate(batch["key"]):
+            n = int(batch["mask"][j].sum())
+            assert n <= cap, (key, n)
+            if key == "long":
+                assert n == cap  # truncated at the cap, not at padded_len
+                np.testing.assert_array_equal(batch["wav"][j, :n],
+                                              items[0][1][:cap])
+                assert not batch["wav"][j, n:].any()  # zero past the mask
+
+
 def test_defer_chunk_aug_yields_whole_utterances(corpus):
     """SSL mode (defer_chunk_aug): the dataset must not pre-chunk or
     pre-augment — crops are taken from the whole utterance and each view is

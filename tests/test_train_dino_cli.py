@@ -53,7 +53,15 @@ def test_train_dino_runs(tmp_path):
     cfg = tmp_path / "dino.yaml"
     with open(cfg, "w") as f:
         yaml.safe_dump(config, f)
-    state = train_dino(str(cfg))
+    from wespeaker_tpu.ops import grouped_conv as gc
+    try:
+        state = train_dino(str(cfg))
+        # under the default pure-DP mesh (no model axis) the trainer must
+        # have selected the fast native grouped-conv kernel gradient, like
+        # bin/train.py (docs/PERF.md round 4: safe path is ~9x for depthwise)
+        assert gc.kernel_grad_mode() == "native"
+    finally:
+        gc.set_kernel_grad_mode("safe")  # process-global; restore default
     assert int(state.step) >= 1
     import os
     assert os.path.exists(tmp_path / "exp" / "models" / "model_0.ckpt")
@@ -113,5 +121,10 @@ def test_train_contrastive_runs(tmp_path, method):
     cfg = tmp_path / f"{method}.yaml"
     with open(cfg, "w") as f:
         yaml.safe_dump(config, f)
-    state = train_contrastive(str(cfg))
+    from wespeaker_tpu.ops import grouped_conv as gc
+    try:
+        state = train_contrastive(str(cfg))
+        assert gc.kernel_grad_mode() == "native"  # pure-DP mesh, as train.py
+    finally:
+        gc.set_kernel_grad_mode("safe")  # process-global; restore default
     assert int(state.step) >= 1

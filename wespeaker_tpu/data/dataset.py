@@ -188,7 +188,11 @@ def eval_batches(utt_wavs, batch_size: int = 8, quantum_samples: int = 16000,
             mask = np.zeros((len(group), padded_len), np.float32)
             keys = []
             for j, (key, wav) in enumerate(group):
-                wav = wav[:padded_len]
+                # max_samples bounds the VALID samples even when the pow2
+                # ladder rounds padded_len past it — otherwise the cap would
+                # stop bounding per-utterance length and masked numerics
+                # would diverge from linear-quantum mode
+                wav = wav[:min(padded_len, longest)]
                 wavs[j, :len(wav)] = wav
                 mask[j, :len(wav)] = 1.0
                 keys.append(key)

@@ -34,6 +34,7 @@ w2v-bert frontends' positional/depthwise convs.
 
 import functools
 import itertools
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -102,6 +103,14 @@ def kernel_grad_mode() -> str:
 
 def _bwd(strides, padding, dilation, groups, res, dy):
     x, kernel = res
+    # trace-time breadcrumb: _KERNEL_GRAD_MODE is process-global and baked
+    # in at trace time, so a backward jit-cached before set_kernel_grad_mode
+    # keeps the old mode — log which one this trace uses so a stale-cache
+    # mismatch is observable in train logs
+    logging.getLogger(__name__).info(
+        "grouped_conv backward traced: kernel_grad_mode=%s "
+        "(groups=%d, kernel=%s)", _KERNEL_GRAD_MODE, groups,
+        tuple(kernel.shape))
 
     # input gradient: the native transposed grouped conv partitions fine
     _, x_vjp = jax.vjp(
