@@ -100,6 +100,27 @@ def iter_wavs_from_list(data_list, target_rate=16000, num_splits=1,
                              entries(), read_threads)
 
 
+def iter_feats_from_list(data_list, num_splits=1, split_index=0):
+    """Stream (key, (T, F) feat) from a feat list: kaldi scp lines
+    ('key ark:offset') or jsonl ({'key', 'feat': 'ark:offset'}) — the same
+    formats the data_type=feat training pipeline consumes."""
+    from wespeaker_tpu.data.pipeline import read_vec_scp_iterlines
+
+    def scp_lines():
+        with open(data_list) as f:
+            for i, line in enumerate(f):
+                line = line.strip()
+                if not line or i % num_splits != split_index:
+                    continue
+                if line.startswith("{"):
+                    obj = json.loads(line)
+                    yield f"{obj['key']} {obj['feat']}"
+                else:
+                    yield line
+
+    yield from read_vec_scp_iterlines(scp_lines())
+
+
 def extract(config, checkpoint_path, data_list, out_prefix, batch_size=8,
             overrides=None, num_splits=1, split_index=0, bf16=False,
             read_threads=4, precision="default", data_parallel=False,
@@ -148,31 +169,46 @@ def _extract_inner(configs, checkpoint_path, data_list, out_prefix,
         frame_shift_ms=fbank_args.get("frame_shift", 10),
         sample_rate=rate,
         dither=0.0)
+    # feat mode: the list carries precomputed (T, F) matrices instead of
+    # wavs — the deprecated feats-IO path, and the feat_stack trainable
+    # layer-mix path (precompute_feats --layer all)
+    feat_mode = (built.frontend_type == "feat_stack"
+                 or configs.get("data_type") == "feat")
     embed_fn = jax.jit(make_eval_embed_fn(
         built.model, fbank_cfg, featurize_fn=built.featurize_eval,
-        compute_dtype=compute_dtype))
+        compute_dtype=compute_dtype, from_wav=not feat_mode))
 
-    wavs = iter_wavs_from_list(data_list, rate, num_splits, split_index,
-                               read_threads)
+    if feat_mode:
+        from wespeaker_tpu.data.dataset import eval_feat_batches
+        feats = iter_feats_from_list(data_list, num_splits, split_index)
+        batches = eval_feat_batches(feats, batch_size=batch_size,
+                                    pow2_buckets=pow2_buckets)
+        data_key = "feat"
+    else:
+        wavs = iter_wavs_from_list(data_list, rate, num_splits, split_index,
+                                   read_threads)
+        batches = eval_batches(wavs, batch_size=batch_size,
+                               quantum_samples=rate,
+                               pow2_buckets=pow2_buckets)
+        data_key = "wav"
 
     def items():
-        for batch in eval_batches(wavs, batch_size=batch_size,
-                                  quantum_samples=rate,
-                                  pow2_buckets=pow2_buckets):
-            wav, mask, n_real = batch["wav"], batch["mask"], len(batch["key"])
+        for batch in batches:
+            x, mask, n_real = batch[data_key], batch["mask"], \
+                len(batch["key"])
             if n_dev > 1 and n_real % n_dev:
                 # pad the batch dim to the device count by replicating the
                 # last row (real data, so masked pooling stays well-defined;
                 # the extra outputs are dropped below)
                 pad = n_dev - n_real % n_dev
-                wav = np.concatenate([wav, np.repeat(wav[-1:], pad, 0)])
+                x = np.concatenate([x, np.repeat(x[-1:], pad, 0)])
                 mask = np.concatenate([mask, np.repeat(mask[-1:], pad, 0)])
-            wav, mask = jnp.asarray(wav), jnp.asarray(mask)
+            x, mask = jnp.asarray(x), jnp.asarray(mask)
             if batch_sharding is not None:
-                wav = jax.device_put(wav, batch_sharding)
+                x = jax.device_put(x, batch_sharding)
                 mask = jax.device_put(mask, batch_sharding)
             emb = np.asarray(embed_fn(variables,
-                                      {"wav": wav, "mask": mask}))[:n_real]
+                                      {data_key: x, "mask": mask}))[:n_real]
             for key, vec in zip(batch["key"], emb):
                 yield key, vec
 

@@ -19,8 +19,12 @@ Backends:
             package is installed (absent here; gated with a clear error).
 
 --layer N picks hidden_states[N] (hf/s3prl); 'last' (default) uses the
-final layer; 'avg' averages all layers — a static stand-in for the
-trainable s3prl Featurizer weighting (frontend/ssl_frontends.py).
+final layer; 'avg' averages all layers (a static mix); 'all' concatenates
+every hidden layer on the feature axis, (T, L*D) — train with
+`dataset_args.frontend: feat_stack` + `feat_stack_args.num_layers: L` and
+the StackedFeatFrontend learns the layer mix jointly with the speaker
+model, matching the reference's trainable in-loop s3prl weighting
+(frontend/s3prl.py:50-66) for ANY upstream.
 
 Usage:
   python -m wespeaker_tpu.bin.precompute_feats --data_list raw.list \
@@ -35,15 +39,27 @@ import logging
 
 
 def _to_tf(out, layer):
-    """Normalize a backend output to a (T, F) float32 numpy matrix."""
+    """Normalize a backend output to a (T, F) float32 numpy matrix.
+    layer='all' concatenates every hidden layer on the feature axis,
+    (T, L*D) — the input format of the trainable StackedFeatFrontend
+    (frontend/ssl_frontends.py), which re-learns the reference's in-loop
+    s3prl layer mix (frontend/s3prl.py:50-66) on device."""
     import numpy as np
     import torch
 
     if isinstance(out, (tuple, list)):
-        out = out[0]
+        if layer == "all":
+            # torchjit upstream emitting a tuple/list of per-layer (T, F)
+            # or (1, T, F) states: stack them on the feature axis
+            out = torch.cat([t[0] if t.dim() == 3 else t for t in out],
+                            dim=-1)
+        else:
+            out = out[0]
     if hasattr(out, "hidden_states") and out.hidden_states is not None:
         hs = out.hidden_states
-        if layer == "avg":
+        if layer == "all":
+            out = torch.cat(list(hs), dim=-1)
+        elif layer == "avg":
             out = torch.stack(list(hs)).mean(0)
         elif layer == "last":
             out = hs[-1]
@@ -95,6 +111,8 @@ def make_frontend_fn(backend: str, model_path: str, layer: str = "last"):
             with torch.no_grad():
                 t = torch.from_numpy(wav[None])
                 hs, _ = model(t, torch.tensor([t.shape[1]]))
+                if layer == "all":
+                    return _to_tf(torch.cat(list(hs), dim=-1), "last")
                 if layer == "avg":
                     import torch as _t
                     return _to_tf(_t.stack(list(hs)).mean(0), layer)
@@ -139,7 +157,9 @@ def main():
                     required=True)
     ap.add_argument("--model_path", required=True)
     ap.add_argument("--layer", default="last",
-                    help="'last', 'avg', or a hidden_states index")
+                    help="'last', 'avg', 'all' (stack every layer on the "
+                         "feature axis for trainable feat_stack mixing), "
+                         "or a hidden_states index")
     ap.add_argument("--resample_rate", type=int, default=16000)
     ap.add_argument("--num_splits", type=int, default=1)
     ap.add_argument("--split_index", type=int, default=0)

@@ -110,6 +110,10 @@ def train(config: str, overrides=None, **kwargs):
         logger.info("do_lm: speed perturb disabled, classifier keeps 3x rows")
         dataset_args = {**dataset_args, "speed_perturb": False}
         lm_keep_3x = True
+    if configs["data_type"] == "feat":
+        # the feat parser joins scp rows to speakers itself
+        # (data/dataset.py::_epoch_iter feat branch)
+        dataset_args = {**dataset_args, "utt2spk": configs["utt2spk"]}
     ds_args = (configs["data_type"], configs["train_data"], dataset_args,
                spk2id)
     stripe, num_stripes = process_data_stripe(mesh)

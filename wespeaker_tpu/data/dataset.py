@@ -208,6 +208,51 @@ def eval_batches(utt_wavs, batch_size: int = 8, quantum_samples: int = 16000,
         yield from emit(window)
 
 
+def eval_feat_batches(utt_feats, batch_size: int = 8,
+                      quantum_frames: int = 100,
+                      max_frames: Optional[int] = None,
+                      sort_window: Optional[int] = 4096,
+                      pow2_buckets: bool = False) -> Iterator[dict]:
+    """eval_batches for PRECOMPUTED (T, F) feature matrices (data_type=feat
+    extraction, incl. the feat_stack trainable-layer-mix path): sort by
+    frame count, right-pad each bucket to a multiple of `quantum_frames`
+    (default 100 = 1 s at 10 ms hop), and emit a (B, T) frame-validity mask
+    so masked CMVN/pooling match the unpadded batch=1 path."""
+
+    def emit(items):
+        items.sort(key=lambda kv: kv[1].shape[0])
+        for i in range(0, len(items), batch_size):
+            group = items[i:i + batch_size]
+            longest = max(m.shape[0] for _, m in group)
+            if max_frames is not None:
+                longest = min(longest, max_frames)
+            padded = -(-longest // quantum_frames) * quantum_frames
+            if pow2_buckets:
+                p = quantum_frames
+                while p < longest:
+                    p *= 2
+                padded = p
+            dim = group[0][1].shape[1]
+            feats = np.zeros((len(group), padded, dim), np.float32)
+            mask = np.zeros((len(group), padded), np.float32)
+            keys = []
+            for j, (key, mat) in enumerate(group):
+                mat = mat[:min(padded, longest)]
+                feats[j, :mat.shape[0]] = mat
+                mask[j, :mat.shape[0]] = 1.0
+                keys.append(key)
+            yield {"feat": feats, "mask": mask, "key": keys}
+
+    window = []
+    for item in utt_feats:
+        window.append(item)
+        if sort_window is not None and len(window) >= sort_window:
+            yield from emit(window)
+            window = []
+    if window:
+        yield from emit(window)
+
+
 def _mp_worker(q, ds_args, ds_kwargs, batch_size, max_epochs):
     """Spawned worker: runs the numpy pipeline on its list stripe and ships
     finished batches. Imports stay JAX-free (data/ modules are numpy-only),

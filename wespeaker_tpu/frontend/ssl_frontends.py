@@ -49,6 +49,33 @@ class Featurizer(nn.Module):
         return jnp.tensordot(ws, stacked, axes=1)
 
 
+class StackedFeatFrontend(nn.Module):
+    """Trainable layer mixing over HOST-precomputed hidden states.
+
+    Closes the reference's in-loop s3prl layer-weighting for upstreams with
+    no native flax port (reference frontend/s3prl.py:50-66 learns the layer
+    mix during training): `bin/precompute_feats --layer all` writes every
+    hidden layer concatenated on the feature axis, (T, L*D); this module
+    splits the stack back into L layers and applies the same learned
+    softmax Featurizer the native WavLM path uses — so the layer weights
+    still train jointly with the speaker model, only the (frozen) upstream
+    forward happens offline.
+
+    Input (B, T, L*D) -> (B, T, D). Frame-rate preserving (time_stride 1),
+    so padded-bucket frame masks pass through unchanged.
+    """
+    num_layers: int
+    time_stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        ld = x.shape[-1]
+        assert ld % self.num_layers == 0, (ld, self.num_layers)
+        d = ld // self.num_layers
+        layers = [x[..., i * d:(i + 1) * d] for i in range(self.num_layers)]
+        return Featurizer(self.num_layers, name="featurizer")(layers)
+
+
 class Wav2Vec2Frontend:
     """Flax wav2vec2-family encoder as a speaker frontend.
 

@@ -149,6 +149,37 @@ def build_model(configs: Dict[str, Any]) -> BuiltModel:
         return BuiltModel(model, featurize_train, featurize_eval,
                           min_wav, frontend_type)
 
+    if frontend_type == "feat_stack":
+        # trainable layer weighting over bin/precompute_feats --layer all
+        # output: data_type=feat rows are (T, L*D) stacked hidden states;
+        # the Featurizer learns the layer mix jointly with the head,
+        # closing the reference's in-loop s3prl weighting
+        # (frontend/s3prl.py:50-66) for upstreams with no native port
+        from wespeaker_tpu.frontend.ssl_frontends import StackedFeatFrontend
+        from wespeaker_tpu.models.with_frontend import FrontendSpeakerModel
+
+        fe_args = dict(dataset_args.get("feat_stack_args", {}))
+        num_layers = int(fe_args.pop("num_layers"))
+        if fe_args:
+            raise ValueError(f"unknown feat_stack_args keys "
+                             f"{sorted(fe_args)}")
+        layer_dim = model_args.get("feat_dim", 80)  # per-layer D, head input
+        frontend = StackedFeatFrontend(num_layers=num_layers)
+        head = get_speaker_model(configs["model"])(**model_args)
+        # CMVN on the mixed output, like the native frontends
+        # (reference utils/executor.py:50-54)
+        model = FrontendSpeakerModel(
+            frontend, head, normalize=dataset_args.get("cmvn", True))
+
+        def featurize_train(batch, key):
+            return batch["feat"]  # mixing + CMVN happen inside the model
+
+        def featurize_eval(batch):
+            return batch["feat"], batch.get("mask")
+
+        return BuiltModel(model, featurize_train, featurize_eval,
+                          num_layers * layer_dim, frontend_type)
+
     if frontend_type == "w2vbert":
         # flax w2v-bert 2.0 port (parity-tested vs HF torch); pairs with the
         # adapter-MFA head taking all hidden states (reference w2vbert
@@ -216,6 +247,7 @@ def build_model(configs: Dict[str, Any]) -> BuiltModel:
 
     raise KeyError(
         f"unknown frontend {frontend_type}; supported: fbank, tfmel, wavlm "
-        "(also hubert/wav2vec2 modes), w2vbert, whisper_encoder — see the "
+        "(also hubert/wav2vec2 modes), w2vbert, whisper_encoder, feat_stack "
+        "(precomputed multi-layer feats) — see the "
         "supported-upstream matrix in frontend/ssl_frontends.py and "
         "docs/MIGRATING.md")
