@@ -5,7 +5,14 @@ drives concurrent POST /embed requests (2 s wavs) from a thread pool and
 reports p50/p95/p99 latency and requests/s. One model per invocation (tunnel
 compile cost); run under the ambient env.
 
-Usage: PYTHONPATH=. python scripts/bench_serving.py [concurrency] [n_req]
+Usage: PYTHONPATH=. python scripts/bench_serving.py [concurrency] [n_req] [keepalive 0|1]
+
+keepalive=1 reuses one HTTP/1.1 connection per client thread (the server
+speaks HTTP/1.1 with Content-Length replies); keepalive=0 opens a fresh
+TCP connection per request (the pre-round-5 client behavior). Sweeping
+concurrency x keepalive separates the per-request TCP cost from the
+2-CPU GIL cost: ThreadingHTTPServer is thread-per-CONNECTION, so with
+keep-alive the handler-thread count equals the client count.
 """
 
 import json
@@ -24,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     conc = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     n_req = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    keepalive = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
 
     import jax
     import jax.numpy as jnp
@@ -74,6 +82,29 @@ def main():
         with urllib.request.urlopen(req, timeout=300) as resp:
             json.loads(resp.read())
         return time.perf_counter() - t0
+
+    _conn_local = threading.local()
+
+    def one_http_keepalive():
+        # one persistent HTTP/1.1 connection per client thread
+        import http.client
+        conn = getattr(_conn_local, "conn", None)
+        if conn is None:
+            conn = http.client.HTTPConnection("127.0.0.1", server.port,
+                                              timeout=300)
+            _conn_local.conn = conn
+        t0 = time.perf_counter()
+        try:
+            conn.request("POST", "/embed", body=body,
+                         headers={"Content-Type": "audio/wav"})
+            json.loads(conn.getresponse().read())
+        except (http.client.HTTPException, OSError):
+            _conn_local.conn = None  # reconnect next call
+            raise
+        return time.perf_counter() - t0
+
+    if keepalive:
+        one_http = one_http_keepalive
 
     def one_direct():
         # the batcher without HTTP: same dynamic batching + model dispatch
@@ -136,7 +167,7 @@ def main():
     lat_h, wall_h = run_phase(n_req, one_http)
     p_d, p_h = pcts(lat_d), pcts(lat_h)
     print(json.dumps({
-        "concurrency": conc, "requests": n_req,
+        "concurrency": conc, "requests": n_req, "keepalive": keepalive,
         "dispatch_floor_ms": round(dispatch_ms, 1),
         "direct_p50_ms": p_d[50], "direct_p95_ms": p_d[95],
         "direct_req_per_s": round(n_req / wall_d, 1),

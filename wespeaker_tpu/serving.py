@@ -212,6 +212,13 @@ def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
         return resample_array(wav, sr, resample_rate)
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive: BaseHTTPRequestHandler defaults to HTTP/1.0,
+        # which closes the connection after every response — each request
+        # then pays a TCP handshake + a fresh handler thread. Persistent
+        # connections are safe here because every reply sends
+        # Content-Length (round-5 serving knob sweep, docs/PERF.md).
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *args):  # quiet
             pass
 
