@@ -452,3 +452,26 @@ def test_fused_inv_bottleneck_kernel_matches_reference():
     want = np.asarray(inv_bottleneck_stage_reference(x, *args))
     got = np.asarray(fused_inv_bottleneck_stage(x, *args, interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_fused_inv_bottleneck_roll_tap_matches_reference(monkeypatch):
+    """The production TPU tap path (use_roll=True: pltpu.roll on the T
+    axis + wrap mask) — forced in interpret mode via WESPEAKER_INVBN_ROLL=1
+    so CI exercises the exact logic real-TPU runs use, not just the
+    _shift2d fallback (round-4 advisor finding)."""
+    from wespeaker_tpu.ops.inv_bottleneck_pallas import (
+        fused_inv_bottleneck_stage, inv_bottleneck_stage_reference)
+
+    monkeypatch.setenv("WESPEAKER_INVBN_ROLL", "1")
+    jax.clear_caches()  # use_roll is baked in at trace time
+    rng = np.random.default_rng(5)
+    L, F, T, C = 2, 5, 21, 8  # T%16 != 0: exercises the pad+wrap-mask edge
+    x = jnp.asarray(rng.normal(size=(3, F, T, C)).astype(np.float32))
+    args = [jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.3)
+            for s in [(L, C, 4 * C), (L, 4 * C), (L, 4 * C),
+                      (L, 3, 3, 4 * C), (L, 4 * C), (L, 4 * C),
+                      (L, 4 * C, C), (L, C), (L, C)]]
+    want = np.asarray(inv_bottleneck_stage_reference(x, *args))
+    got = np.asarray(fused_inv_bottleneck_stage(x, *args, interpret=True))
+    jax.clear_caches()  # don't leak roll-mode traces to other tests
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)

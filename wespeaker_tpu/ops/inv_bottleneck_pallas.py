@@ -52,6 +52,10 @@ def _pick_block_b(f: int, t16: int, c: int, itemsize: int) -> int:
     return 8
 
 
+def _ROLL_ENV():
+    return os.environ.get("WESPEAKER_INVBN_ROLL")
+
+
 def _shift2d(h, df, dt):
     """Shift (NB, F, T, C) by (df, dt) over the two spatial dims with zero
     fill (SAME conv semantics): out[f, t] = h[f + df, t + dt]. Static
@@ -162,9 +166,14 @@ def fused_inv_bottleneck_stage(x, w1, s1, t1, wdw, s2, t2, w2, s3, t3,
             t3.astype(jnp.float32)]
     out = pl.pallas_call(
         functools.partial(_stage_kernel, num_blocks=num_blocks, t=t,
-                          t_real=t_real, use_roll=not interpret and
-                          os.environ.get("WESPEAKER_INVBN_ROLL", "1")
-                          != "0"),
+                          t_real=t_real,
+                          # default: roll on real TPU, shift2d interpreted.
+                          # WESPEAKER_INVBN_ROLL=0 is the bisection escape
+                          # hatch; =1 forces roll even in interpret mode so
+                          # CI can exercise the production tap logic
+                          # (tests/test_pallas_ops.py)
+                          use_roll=(_ROLL_ENV() == "1") if _ROLL_ENV()
+                          is not None else not interpret),
         grid=(b // block_b,),
         in_specs=[tile] + [vec] * 9,
         out_specs=tile,
