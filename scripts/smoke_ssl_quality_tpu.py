@@ -34,7 +34,7 @@ seed: 42
 data_type: raw
 train_data: {root}/train8x.list
 utt2spk: {root}/utt2spk
-num_epochs: 40
+num_epochs: 80
 log_batch_interval: 20
 enable_amp: true
 dataset_args:
@@ -68,7 +68,7 @@ dino_args:
   local_chunk_sec: 1.0
   base_lr: 0.2
   final_lr: 0.00005
-  warmup_epochs: 4
+  warmup_epochs: 8
   warmup_teacher_temp: 0.04
   teacher_temp: 0.07
   momentum_teacher: 0.996
@@ -83,7 +83,7 @@ ssl_method: {method}
 data_type: raw
 train_data: {root}/train8x.list
 utt2spk: {root}/utt2spk
-num_epochs: 40
+num_epochs: 80
 log_batch_interval: 20
 enable_amp: true
 dataset_args:
@@ -125,6 +125,10 @@ def main():
     ap.add_argument("--method", default="dino",
                     choices=["dino", "moco", "simclr"])
     ap.add_argument("--avg_num", type=int, default=2)
+    ap.add_argument("--epochs_per_proc", type=int, default=26,
+                    help="segment DINO training into fresh processes every "
+                         "N epochs (tunnel host-RAM leak workaround); 0 = "
+                         "single process")
     args = ap.parse_args()
     root = os.path.abspath(args.workdir)
     os.makedirs(root, exist_ok=True)
@@ -153,7 +157,21 @@ def main():
     trainer = ("wespeaker_tpu.bin.train_dino" if args.method == "dino"
                else "wespeaker_tpu.bin.train_contrastive")
     t0 = time.time()
-    run(py + [trainer, "--config", cfg])
+    if args.method == "dino" and args.epochs_per_proc:
+        # the tunnel leaks host RAM per transfer (docs/PERF.md round-5 env
+        # note): segment the run into fresh processes via the trainer's
+        # resume/stop_epoch support so long smokes fit the box
+        import re
+        total = int(re.search(r"num_epochs: (\d+)", cfg_text).group(1))
+        end = args.epochs_per_proc
+        while True:
+            run(py + [trainer, "--config", cfg, "resume=true",
+                      f"stop_epoch={min(end, total)}"])
+            if end >= total:
+                break
+            end += args.epochs_per_proc
+    else:
+        run(py + [trainer, "--config", cfg])
     train_s = time.time() - t0
 
     # recipe stage 3 (examples/voxceleb/v3/*/run.sh): average the last

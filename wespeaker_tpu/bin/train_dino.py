@@ -124,9 +124,27 @@ def train_dino(config: str, overrides=None, **kwargs):
     g_len = int(dino_args.get("global_chunk_sec", 2.0) * sr)
     l_len = int(dino_args.get("local_chunk_sec", 1.0) * sr)
 
+    # full-trainer-state resume (student+teacher+opt+center+step): the
+    # reference restarts SSL runs from model weights only; here the whole
+    # DINOState round-trips so schedules/EMA/centering continue exactly —
+    # also the recommended way to run long smokes through the tunnel,
+    # whose per-transfer host leak bounds single-process step counts
+    # (docs/PERF.md round-5 env note)
+    start_epoch = 0
+    trainer_ckpt = os.path.join(model_dir, "trainer_state.ckpt")
+    if configs.get("resume") and os.path.exists(trainer_ckpt):
+        import flax.serialization as fser
+        with open(trainer_ckpt, "rb") as f:
+            blob = fser.msgpack_restore(f.read())
+        state = fser.from_state_dict(state, blob["state"])
+        start_epoch = int(blob["epoch"])
+        logging.info(f"resumed trainer state at epoch {start_epoch} "
+                     f"(step {int(state.step)})")
+
     def crops():
-        rng = np.random.default_rng(configs.get("seed", 42))
-        epoch = 0
+        rng = np.random.default_rng(configs.get("seed", 42)
+                                    + 7717 * start_epoch)
+        epoch = start_epoch
         while True:
             data = dataset._epoch_iter(epoch)
             data = ssl_data.multi_crop(data, g_len, l_len, n_global, n_local,
@@ -140,9 +158,14 @@ def train_dino(config: str, overrides=None, **kwargs):
     step_jit = jax.jit(step_fn, out_shardings=(rep, rep))
     log_interval = configs.get("log_batch_interval", 50)
 
-    it = 0
+    # stop_epoch (exclusive) ends this PROCESS early without compressing
+    # the schedules (which are built from num_epochs): segmented runs pass
+    # resume=true stop_epoch=K, then relaunch — each segment continues the
+    # same cosine schedules from the restored state.step
+    stop_epoch = min(num_epochs, configs.get("stop_epoch") or num_epochs)
+    it = start_epoch * epoch_iter
     batches = iter(Prefetcher(crops()))
-    for epoch in range(num_epochs):
+    for epoch in range(start_epoch, stop_epoch):
         t0 = time.time()
         for _ in range(epoch_iter):
             b = next(batches)
@@ -167,6 +190,13 @@ def train_dino(config: str, overrides=None, **kwargs):
             })
             ckpt.save_checkpoint(
                 os.path.join(model_dir, f"model_{epoch}.ckpt"), variables)
+            import flax.serialization as fser
+            host_state = jax.device_get(state)
+            with open(trainer_ckpt, "wb") as f:
+                f.write(fser.msgpack_serialize(jax.tree_util.tree_map(
+                    np.asarray,
+                    {"epoch": epoch + 1,
+                     "state": fser.to_state_dict(host_state)})))
     return state
 
 
