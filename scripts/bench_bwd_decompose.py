@@ -10,6 +10,15 @@ full dX chain but computes no filter gradients, so
     grad_input - fwdtrain         = the dX chain (transposed convs + BN bwd)
     grad_params - grad_input      = the dW computations (filter gradients)
 
+and the eval-BN counterfactuals (train=False: BN backward through frozen
+running stats is just a per-channel scale — no batch-stat reductions in
+either direction; everything else identical, fused inference kernels are
+opt-in and stay off):
+
+    fwdeval                       = fwd minus BN batch-stat computation
+    gradin_evalbn  vs grad_input  = the BN-train machinery in the dX chain
+    gradparams_evalbn             = full backward minus BN-train machinery
+
 All timings are floor-proof on-device fori_loop slopes on the backbone
 alone, feats in (B, 200, feat_dim), sum-of-embedding loss — the round-4
 ablation showed fbank/projection/optimizer are <4% of the step.
@@ -51,26 +60,33 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), feat[:2], train=True)
     params, stats = variables["params"], variables.get("batch_stats", {})
 
-    def loss(p, x):
+    def loss(p, x, train=True):
         # the bin/train.py AMP recipe: params cast to compute dtype inside
         # the loss, f32 master weights outside (train/train_step.py)
         pc = jax.tree_util.tree_map(
             lambda a: a.astype(compute_dtype)
             if a.dtype == jnp.float32 else a, p)
         out = model.apply({"params": pc, "batch_stats": stats},
-                          x.astype(compute_dtype), train=True,
-                          mutable=["batch_stats"])
-        emb = out[0][0] if isinstance(out[0], tuple) else out[0]
+                          x.astype(compute_dtype), train=train,
+                          mutable=["batch_stats"] if train else False)
+        if train:
+            out = out[0]
+        emb = out[0] if isinstance(out, tuple) else out
         return jnp.sum(emb.astype(jnp.float32))
 
-    if variant == "fwdtrain":
-        fn = lambda d: loss(params, d["feat"])
-    elif variant == "grad_input":
-        fn = lambda d: jax.grad(loss, 1)(params, d["feat"])
-    elif variant == "grad_params":
-        fn = lambda d: jax.grad(loss, 0)(params, d["feat"])
-    else:
+    loss_eval = lambda p, x: loss(p, x, train=False)
+    variants = {
+        "fwdtrain": lambda d: loss(params, d["feat"]),
+        "grad_input": lambda d: jax.grad(loss, 1)(params, d["feat"]),
+        "grad_params": lambda d: jax.grad(loss, 0)(params, d["feat"]),
+        "fwdeval": lambda d: loss_eval(params, d["feat"]),
+        "gradin_evalbn": lambda d: jax.grad(loss_eval, 1)(params, d["feat"]),
+        "gradparams_evalbn":
+            lambda d: jax.grad(loss_eval, 0)(params, d["feat"]),
+    }
+    if variant not in variants:
         raise SystemExit(f"unknown variant {variant}")
+    fn = variants[variant]
 
     dt = time_fn_on_device(fn, {"feat": feat}, iters=10, perturb_key="feat")
     print(json.dumps({

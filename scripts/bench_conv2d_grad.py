@@ -19,9 +19,23 @@ tunnel-floor-proof. One shape per invocation; all modes for that shape.
 
 Linearity note: <conv(x,w), dy> is linear in each arg, so grad_x does not
 need the forward value and XLA dead-code-eliminates the fwd conv — each
-grad timing is that gradient alone.
+grad timing is that gradient alone. Because each gradient is a function
+of only TWO of the three tensors, the loop-timer's perturbation must hit
+a tensor the output actually depends on, or XLA hoists the whole body
+out of the fori_loop and the "slope" measures nothing: dX = f(w, dy)
+(independent of x!), so dx cases perturb dy; dW = f(x, dy) perturbs x.
+(The round-5 first run perturbed x everywhere and printed dx at 4000+
+"TF/s" — loop-invariant code motion, not speed.)
 
-Usage: python scripts/bench_conv2d_grad.py B H W Cin Cout k stride [dtype]
+redmm: the lane-occupancy counterfactual for dW at small channel counts —
+the bare reduction matmul einsum("ki,ko->io") at K = B*Ho*Wo with the
+same cin/cout, i.e. ONE tap's dW contraction with no conv semantics at
+all. If dw_tfs ≈ redmm_tfs, XLA's conv-backprop-filter is already at the
+hardware's skinny-output reduction bound and the deficit is structural
+(output tile cin x cout covers cin/128 x cout/128 of the MXU).
+
+Usage: python scripts/bench_conv2d_grad.py B H W Cin Cout k stride \
+    [dtype] [only=case1,case2]
 e.g. the ResNet34 layer1 body shape: 256 80 200 32 32 3 1
 """
 
@@ -73,8 +87,7 @@ def dw_tap(x, dy, k, stride):
 
 def main():
     b, h, w_, cin, cout, k, stride = (int(a) for a in sys.argv[1:8])
-    dtype = jnp.bfloat16 if (len(sys.argv) < 9 or sys.argv[8] == "bf16") \
-        else jnp.float32
+    dtype = jnp.float32 if "f32" in sys.argv[8:] else jnp.bfloat16
 
     rng = np.random.default_rng(0)
     ho, wo = -(-h // stride), -(-w_ // stride)
@@ -95,34 +108,50 @@ def main():
         return jnp.vdot(conv_nchw(x_, w_arr, stride).astype(jnp.float32),
                         dy_.astype(jnp.float32))
 
+    xflat = x.reshape(-1, cin)
+    dyflat = dy.reshape(-1, cout)
+
+    # case -> (fn, data, perturb_key): the perturbed tensor MUST be one the
+    # output depends on (see module docstring).
     cases = {
         "fwd": (lambda d: conv_nhwc(d["x"], d["w"], stride),
-                {"x": x, "w": w}),
+                {"x": x, "w": w}, "x"),
         "dx": (lambda d: jax.grad(loss_nhwc, 0)(d["x"], d["w"], d["dy"]),
-               {"x": x, "w": w, "dy": dy}),
+               {"x": x, "w": w, "dy": dy}, "dy"),
         "dw": (lambda d: jax.grad(loss_nhwc, 1)(d["x"], d["w"], d["dy"]),
-               {"x": x, "w": w, "dy": dy}),
+               {"x": x, "w": w, "dy": dy}, "x"),
         # symmetric-pad tap slicing is only exact for stride-1 SAME convs
         # (stride-2 SAME pads asymmetrically); the stride-1 body convs are
         # where the time goes anyway
         **({"dw_tap": (lambda d: dw_tap(d["x"], d["dy"], k, stride),
-                       {"x": x, "dy": dy})} if stride == 1 else {}),
+                       {"x": x, "dy": dy}, "x")} if stride == 1 else {}),
+        "redmm": (lambda d: jnp.einsum("ki,ko->io", d["x"], d["dy"],
+                                       preferred_element_type=jnp.float32),
+                  {"x": xflat, "dy": dyflat}, "x"),
         "fwd_nchw": (lambda d: conv_nchw(d["x"], d["w"], stride),
-                     {"x": xc, "w": wc}),
+                     {"x": xc, "w": wc}, "x"),
         "dx_nchw": (lambda d: jax.grad(loss_nchw, 0)(
-            d["x"], d["w"], d["dy"]), {"x": xc, "w": wc, "dy": dyc}),
+            d["x"], d["w"], d["dy"]), {"x": xc, "w": wc, "dy": dyc}, "dy"),
         "dw_nchw": (lambda d: jax.grad(loss_nchw, 1)(
-            d["x"], d["w"], d["dy"]), {"x": xc, "w": wc, "dy": dyc}),
+            d["x"], d["w"], d["dy"]), {"x": xc, "w": wc, "dy": dyc}, "x"),
     }
+    only = None
+    for a in sys.argv[8:]:
+        if a.startswith("only="):
+            only = a[5:].split(",")
 
     out = {"shape": [b, h, w_, cin, cout], "k": k, "stride": stride,
            "dtype": "bf16" if dtype == jnp.bfloat16 else "f32",
            "gflop": round(flops / 1e9, 2)}
-    for name, (fn, data) in cases.items():
-        dt = time_fn_on_device(fn, data, iters=20, perturb_key="x")
+    red_flops = 2.0 * b * ho * wo * cin * cout  # one tap's contraction
+    for name, (fn, data, pkey) in cases.items():
+        if only is not None and name not in only:
+            continue
+        dt = time_fn_on_device(fn, data, iters=20, perturb_key=pkey)
+        fl = red_flops if name == "redmm" else flops
         out[name + "_ms"] = round(dt * 1e3, 3)
-        out[name + "_tfs"] = round(flops / dt / 1e12, 1)
-    if stride == 1:
+        out[name + "_tfs"] = round(fl / dt / 1e12, 1)
+    if stride == 1 and only is None:
         # correctness cross-check: the tap formulation equals the native dW
         dw_native = jax.grad(loss_nhwc, 1)(x, w, dy)
         dw_alt = dw_tap(x, dy, k, stride)
