@@ -92,6 +92,13 @@ def main():
         if conn is None:
             conn = http.client.HTTPConnection("127.0.0.1", server.port,
                                               timeout=300)
+            conn.connect()
+            # client-side Nagle delays the body send (headers and body
+            # are separate send()s) until the server's delayed ACK —
+            # same pathology as the server side (serving.py Handler)
+            import socket as _socket
+            conn.sock.setsockopt(_socket.IPPROTO_TCP,
+                                 _socket.TCP_NODELAY, 1)
             _conn_local.conn = conn
         t0 = time.perf_counter()
         try:

@@ -218,6 +218,12 @@ def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
         # connections are safe here because every reply sends
         # Content-Length (round-5 serving knob sweep, docs/PERF.md).
         protocol_version = "HTTP/1.1"
+        # TCP_NODELAY: on a persistent connection Nagle holds the second
+        # send() (the JSON body, after the header block) until the
+        # client's delayed ACK fires — measured +41.7 ms p50 per request
+        # at concurrency 1 (round-5 sweep). Fresh-connection mode never
+        # showed it because the handshake resets the exchange pattern.
+        disable_nagle_algorithm = True
 
         def log_message(self, *args):  # quiet
             pass
