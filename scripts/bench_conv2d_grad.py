@@ -50,6 +50,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from wespeaker_tpu.ops.conv_dw_pack import dw_pack as _dw_pack
 from wespeaker_tpu.utils.bench_timing import time_fn_on_device
 
 
@@ -108,7 +109,9 @@ def main():
         return jnp.vdot(conv_nchw(x_, w_arr, stride).astype(jnp.float32),
                         dy_.astype(jnp.float32))
 
-    xflat = x.reshape(-1, cin)
+    # one tap's contraction pairs each OUTPUT position with one input
+    # position — stride the input grid so K matches for stride > 1
+    xflat = x[:, ::stride, ::stride, :].reshape(-1, cin)
     dyflat = dy.reshape(-1, cout)
 
     # case -> (fn, data, perturb_key): the perturbed tensor MUST be one the
@@ -128,6 +131,10 @@ def main():
         "redmm": (lambda d: jnp.einsum("ki,ko->io", d["x"], d["dy"],
                                        preferred_element_type=jnp.float32),
                   {"x": xflat, "dy": dyflat}, "x"),
+        # the tap-packed Pallas dW kernel (ops/conv_dw_pack.py): all nine
+        # taps as one (3*cout, 3*cin)-output matmul, shifts built in VMEM
+        **({"dw_pack": (lambda d: _dw_pack(d["x"], d["dy"]),
+                        {"x": x, "dy": dy}, "x")} if stride == 1 else {}),
         "fwd_nchw": (lambda d: conv_nchw(d["x"], d["w"], stride),
                      {"x": xc, "w": wc}, "x"),
         "dx_nchw": (lambda d: jax.grad(loss_nchw, 0)(

@@ -43,6 +43,11 @@ def main():
     # re-measures the GSPMD-safe path)
     from wespeaker_tpu.ops.grouped_conv import set_kernel_grad_mode
     set_kernel_grad_mode(os.environ.get("WESPEAKER_GROUPED_GRAD", "native"))
+    # tap-packed dW counterfactual (ops/conv_dw_pack.py — measured LOSS
+    # vs XLA's conv-backprop-filter, kept opt-in for re-measurement:
+    # WESPEAKER_CONV_DW=packed)
+    from wespeaker_tpu.ops.conv_dw_pack import set_conv_dw_mode
+    set_conv_dw_mode(os.environ.get("WESPEAKER_CONV_DW", "native"))
 
     model = get_speaker_model(model_name)(feat_dim=80, embed_dim=192)
     projection = ArcMarginProduct(192, NUM_CLASS)

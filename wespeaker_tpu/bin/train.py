@@ -96,6 +96,14 @@ def train(config: str, overrides=None, **kwargs):
     from wespeaker_tpu.ops.grouped_conv import set_kernel_grad_mode
     set_kernel_grad_mode(
         "native" if mesh.shape["model"] == 1 else "safe")
+    # tap-packed dW for small-channel 3x3 convs (ops/conv_dw_pack.py):
+    # a measured counterfactual that LOSES to XLA's conv-backprop-filter
+    # on v5e (docs/PERF.md round-5 backward study) — default stays
+    # native; conv_dw_mode: packed in the config re-enables it for
+    # re-measurement on other hardware (single-device only: the Pallas
+    # kernel has no GSPMD partitioning rule).
+    from wespeaker_tpu.ops.conv_dw_pack import set_conv_dw_mode
+    set_conv_dw_mode(configs.get("conv_dw_mode", "native"))
 
     spk2id = spk2id_from_utt2spk(configs["spk2id"]
                                  if "spk2id" in configs

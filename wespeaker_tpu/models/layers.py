@@ -19,7 +19,10 @@ from typing import Any, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax import lax
 
+from wespeaker_tpu.ops.conv_dw_pack import (_eligible, conv2d_packed_dw,
+                                            conv_dw_mode)
 from wespeaker_tpu.ops.grouped_conv import grouped_conv
 
 
@@ -55,6 +58,44 @@ class GroupedConv(nn.Module):
         return y
 
 
+class PackedDWConv(nn.Module):
+    """nn.Conv drop-in (same param names/shapes/inits) that computes the
+    FILTER gradient with the tap-packed Pallas kernel
+    (ops/conv_dw_pack.py) when the call-time shape is eligible (3x3,
+    stride 1, pad 1, groups 1, cin/cout <= 64 — where XLA's
+    conv-backprop-filter sits at the MXU's skinny-output lane bound);
+    otherwise numerically identical native path. Forward and dX are the
+    native XLA ops either way."""
+    features: int
+    strides: Tuple[int, ...]
+    padding: Tuple[Tuple[int, int], ...]
+    kernel_dilation: Tuple[int, ...]
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kshape = (3, 3, x.shape[-1], self.features)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), kshape)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        dtype = jnp.result_type(x.dtype, kernel.dtype)
+        xk, kk = x.astype(dtype), kernel.astype(dtype)
+        if _eligible(x.shape, kshape, self.strides, self.padding,
+                     self.kernel_dilation, 1):
+            y = conv2d_packed_dw(xk, kk, tuple(self.strides),
+                                 tuple(self.padding),
+                                 tuple(self.kernel_dilation))
+        else:
+            y = lax.conv_general_dilated(
+                xk, kk, window_strides=tuple(self.strides),
+                padding=tuple(self.padding),
+                rhs_dilation=tuple(self.kernel_dilation),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if bias is not None:
+            y = y + bias.astype(dtype)
+        return y
+
+
 def _conv(features, kernel_size, strides, padding, dilation, groups, bias,
           name):
     if groups > 1:
@@ -62,6 +103,12 @@ def _conv(features, kernel_size, strides, padding, dilation, groups, bias,
             features=features, kernel_size=kernel_size, strides=strides,
             padding=padding, kernel_dilation=dilation,
             feature_group_count=groups, use_bias=bias, name=name)
+    if (conv_dw_mode() == "packed" and kernel_size == (3, 3)
+            and strides == (1, 1) and padding == ((1, 1), (1, 1))
+            and dilation == (1, 1) and features <= 64):
+        return PackedDWConv(features=features, strides=strides,
+                            padding=padding, kernel_dilation=dilation,
+                            use_bias=bias, name=name)
     return nn.Conv(
         features=features, kernel_size=kernel_size, strides=strides,
         padding=list(padding), kernel_dilation=dilation,
